@@ -1,0 +1,70 @@
+"""Volumetric compositing: raw decoder outputs -> rgb / depth / depth-variance.
+
+TPU-native equivalent of the reference's alpha-compositing
+(reference: include/torchlib/utils.h:148-172 raw2outputs_nerf_color). Two
+alpha models:
+
+- ``occupancy=True`` (the configured NICE-SLAM mode, config/nice_slam.yaml
+  occupancy: True): ``alpha = sigmoid(10 * occ)`` — the upstream intent. The
+  reference hard-codes the density path regardless of config (its occupancy
+  flag is unused in raw2outputs; SURVEY.md §2 component 6), which we treat as
+  a defect: we implement both and default to the configured behavior.
+- ``occupancy=False`` (NeRF density): ``alpha = 1 - exp(-relu(occ) * dist)``.
+
+The exclusive cumulative product of transmittance is a short scan over the
+sample axis (S = 48) — XLA fuses the whole routine into the surrounding
+renderer; no Pallas needed here (bandwidth-bound elementwise + tiny scan).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RenderOutputs(NamedTuple):
+    rgb: jnp.ndarray  # [N, 3]
+    depth: jnp.ndarray  # [N]
+    depth_var: jnp.ndarray  # [N]
+    weights: jnp.ndarray  # [N, S]
+
+
+def raw_to_outputs(
+    raw: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    occupancy: bool = True,
+) -> RenderOutputs:
+    """Composite per-sample ``raw = [..., S, 4]`` (rgb, occ) along each ray.
+
+    Matches utils.h:148-172: dists from consecutive z diffs (+1e10 tail),
+    scaled by ||rays_d||; weights = alpha * cumprod(1 - alpha + 1e-10)
+    exclusive; rgb/depth/depth-var are weighted sums.
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+    )
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    rgb = raw[..., :3]
+    occ = raw[..., 3]
+    if occupancy:
+        alpha = jax.nn.sigmoid(10.0 * occ)
+    else:
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(occ) * dists)
+
+    # Exclusive transmittance: T_i = prod_{k<i} (1 - alpha_k + 1e-10).
+    one_minus = 1.0 - alpha + 1e-10
+    transmittance = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(one_minus[..., :1]), one_minus[..., :-1]], axis=-1),
+        axis=-1,
+    )
+    weights = alpha * transmittance
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    tmp = z_vals - depth_map[..., None]
+    depth_var = jnp.sum(weights * tmp * tmp, axis=-1)
+    return RenderOutputs(rgb_map, depth_map, depth_var, weights)

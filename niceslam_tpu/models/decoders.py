@@ -1,0 +1,204 @@
+"""Hierarchical tiny-MLP decoders + Gaussian Fourier embedding (functional).
+
+TPU-native re-design of the reference decoder stack
+(reference: src/models/MLP.cpp, src/models/GaussianFFT.cpp,
+src/models/NICE.cpp). The reference's native MLP path carries several WIP
+defects (grid_sample result discarded, layer chaining broken, fc index frozen
+— SURVEY.md §2.9.6-7) and its actual forward runs traced upstream TorchScript
+modules (src/models/NICE.cpp:8-11); we implement the upstream-intent
+architecture directly:
+
+- ``MLP`` (middle / fine / color): Fourier-embedded xyz (93-d ``sin(x @ B)``,
+  ``B ~ N(0, 25^2)``, frozen), 5 dense layers of width 32 with ReLU, a
+  per-layer additive projection of the trilinearly-sampled grid feature, and
+  a skip re-concatenation of the embedding after layer 2. The fine decoder
+  concatenates the (stop-gradient) middle-level feature to its own
+  (concat_feature, MLP.cpp:79-84).
+- ``MLP_no_xyz`` (coarse): feature-only input; skip re-concatenates the
+  feature (MLP.cpp:104-138).
+- ``nice_forward`` routes by stage exactly as src/models/NICE.cpp:16-52:
+  coarse -> coarse occ; middle -> middle occ; fine -> middle+fine residual
+  occ; color -> RGBA with occ = middle+fine.
+
+Everything is a pure function over a params pytree — no module classes — so
+optax ``multi_transform`` masks give the per-stage learning-rate schedule and
+`jax.grad` differentiates through grid sampling into the feature grids.
+
+Shapes are MXU-friendly: the hot matmul chain is ``[N, 93] @ [93, 32]`` then
+``[N, 32] @ [32, 32]`` with N = rays x samples (10^4-10^5); XLA fuses the
+ReLU/add epilogues. Param dtype is float32 (tiny); activations may be bf16
+upstream of the loss without accuracy loss.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.trilinear import sample_grid
+
+Params = Dict[str, Any]
+
+EMBEDDING_SIZE = 93  # reference: GaussianFFT ctor (GaussianFFT.cpp:3-7)
+FOURIER_SCALE = 25.0
+N_BLOCKS = 5
+SKIPS = (2,)
+
+
+class DecoderConfig(NamedTuple):
+    c_dim: int = 32
+    hidden: int = 32
+    coarse: bool = True  # whether a coarse level exists (config `coarse: True`)
+
+
+def _xavier_uniform(key, shape, gain):
+    fan_in, fan_out = shape[0], shape[1]
+    a = gain * jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -a, a)
+
+
+def _dense_init(key, d_in, d_out, relu_gain=True):
+    """Xavier-uniform weight, zero bias (reference: MLP.cpp:65-74)."""
+    gain = jnp.sqrt(2.0) if relu_gain else 1.0
+    return {
+        "w": _xavier_uniform(key, (d_in, d_out), gain),
+        "b": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def _dense(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def _init_mlp(key, cfg: DecoderConfig, concat_feature: bool, color: bool):
+    c_in = cfg.c_dim * (2 if concat_feature else 1)
+    keys = jax.random.split(key, 2 * N_BLOCKS + 2)
+    linears = []
+    d_in = EMBEDDING_SIZE
+    for i in range(N_BLOCKS):
+        linears.append(_dense_init(keys[i], d_in, cfg.hidden))
+        # After layer i the embedding is re-concatenated if i in SKIPS.
+        d_in = cfg.hidden + (EMBEDDING_SIZE if i in SKIPS else 0)
+    fc_c = [
+        _dense_init(keys[N_BLOCKS + i], c_in, cfg.hidden, relu_gain=False)
+        for i in range(N_BLOCKS)
+    ]
+    out = _dense_init(keys[-2], d_in, 4 if color else 1, relu_gain=False)
+    B = jax.random.normal(keys[-1], (3, EMBEDDING_SIZE)) * FOURIER_SCALE
+    return {"linears": linears, "fc_c": fc_c, "out": out, "embed_B": B}
+
+
+def _init_mlp_no_xyz(key, cfg: DecoderConfig):
+    keys = jax.random.split(key, N_BLOCKS + 1)
+    linears = []
+    d_in = cfg.c_dim
+    for i in range(N_BLOCKS):
+        linears.append(_dense_init(keys[i], d_in, cfg.hidden))
+        d_in = cfg.hidden + (cfg.c_dim if i in SKIPS else 0)
+    out = _dense_init(keys[-1], d_in, 1, relu_gain=False)
+    return {"linears": linears, "out": out}
+
+
+def init_decoders(key, cfg: DecoderConfig = DecoderConfig()) -> Params:
+    kc, km, kf, kcol = jax.random.split(key, 4)
+    return {
+        "coarse": _init_mlp_no_xyz(kc, cfg),
+        "middle": _init_mlp(km, cfg, concat_feature=False, color=False),
+        "fine": _init_mlp(kf, cfg, concat_feature=True, color=False),
+        "color": _init_mlp(kcol, cfg, concat_feature=False, color=True),
+    }
+
+
+def fourier_embed(p: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Learnable-free random Fourier features: ``sin(p @ B)``.
+
+    Reference: src/models/GaussianFFT.cpp:10-15. ``B`` is frozen
+    (stop_gradient): upstream registers it as a non-trained buffer.
+    """
+    return jnp.sin(p @ jax.lax.stop_gradient(B))
+
+
+def _mlp_forward(params, pts, feat):
+    h = fourier_embed(pts, params["embed_B"])
+    embedded = h
+    for i, (lin, fc) in enumerate(zip(params["linears"], params["fc_c"])):
+        h = jax.nn.relu(_dense(lin, h))
+        h = h + _dense(fc, feat)
+        if i in SKIPS:
+            h = jnp.concatenate([embedded, h], axis=-1)
+    return _dense(params["out"], h)
+
+
+def _mlp_no_xyz_forward(params, feat):
+    h = feat
+    for i, lin in enumerate(params["linears"]):
+        h = jax.nn.relu(_dense(lin, h))
+        if i in SKIPS:
+            h = jnp.concatenate([feat, h], axis=-1)
+    return _dense(params["out"], h)
+
+
+def _feat(grids, bounds, name, pts):
+    return sample_grid(grids[name], pts, bounds[name])
+
+
+def _middle_occ(params, grids, bounds, pts):
+    return _mlp_forward(params["middle"], pts, _feat(grids, bounds, "middle", pts))[..., 0]
+
+
+def _fine_occ(params, grids, bounds, pts):
+    own = _feat(grids, bounds, "fine", pts)
+    mid = jax.lax.stop_gradient(_feat(grids, bounds, "middle", pts))
+    feat = jnp.concatenate([own, mid], axis=-1)
+    return _mlp_forward(params["fine"], pts, feat)[..., 0]
+
+
+def nice_forward(
+    params: Params,
+    grids: Dict[str, jnp.ndarray],
+    pts: jnp.ndarray,
+    bounds: Dict[str, jnp.ndarray],
+    stage: str,
+) -> jnp.ndarray:
+    """Stage-routed hierarchy forward: points ``[N, 3]`` -> raw ``[N, 4]``.
+
+    ``bounds`` maps level name -> per-level sampling bound ``[3, 2]`` (the
+    coarse level samples against the enlarged bound; grid/hierarchy.py).
+    Stage semantics per src/models/NICE.cpp:16-52 / upstream NICE: occupancy
+    in channel 3; rgb zeros except in the color stage. ``stage`` is a static
+    python string — each stage jits to its own XLA program.
+    """
+    n = pts.shape[0]
+    zeros3 = jnp.zeros((n, 3), pts.dtype)
+    if stage == "coarse":
+        occ = _mlp_no_xyz_forward(
+            params["coarse"], _feat(grids, bounds, "coarse", pts)
+        )[..., 0]
+        return jnp.concatenate([zeros3, occ[:, None]], axis=-1)
+    if stage == "middle":
+        occ = _middle_occ(params, grids, bounds, pts)
+        return jnp.concatenate([zeros3, occ[:, None]], axis=-1)
+    if stage == "fine":
+        occ = _fine_occ(params, grids, bounds, pts) + _middle_occ(params, grids, bounds, pts)
+        return jnp.concatenate([zeros3, occ[:, None]], axis=-1)
+    if stage == "color":
+        raw = _mlp_forward(
+            params["color"], pts, _feat(grids, bounds, "color", pts)
+        )
+        occ = _fine_occ(params, grids, bounds, pts) + _middle_occ(params, grids, bounds, pts)
+        return jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
+    raise ValueError(f"unknown stage {stage!r}")
+
+
+def decoder_param_labels(params: Params) -> Params:
+    """Label every decoder leaf with its level name for optax multi_transform.
+
+    The mapper's per-stage LR table (config/nice_slam.yaml stage.*) addresses
+    'decoders' as one group with fix_fine/fix_color switches; labeling by
+    level lets the schedule express both.
+    """
+    return {
+        level: jax.tree_util.tree_map(lambda _: level, sub)
+        for level, sub in params.items()
+    }

@@ -1,0 +1,88 @@
+"""Trilinear feature-grid interpolation (the #1 custom op of the system).
+
+TPU-native replacement for the reference's cuDNN ``grid_sample`` call
+(reference: src/models/MLP.cpp:51-63 sample_grid_feature — which, at this
+commit, discards the sampled result and returns the raw grid; SURVEY.md
+§2.9.6. We implement the intent: sampled features ``[N, C]``).
+
+Semantics match torch ``F.grid_sample(..., mode='bilinear',
+padding_mode='border', align_corners=True)`` on a ``[1, C, Z, Y, X]`` volume
+with xyz-ordered normalized coords — i.e. world point -> [-1, 1]^3 via the
+scene bound (utils.h:132-139 normalize_3d_coordinate), then
+``v = (n + 1) / 2 * (dim - 1)``, clamped to the border.
+
+Grid layout here is channel-last ``[Z, Y, X, C]``: the 8 corner fetches per
+point become one XLA gather of ``[N*8]`` rows from a ``[Z*Y*X, C]`` view, with
+C (=32) contiguous in lanes. The lerp is a weighted reduction over the corner
+axis. Backprop through ``take`` yields the scatter-add VJP into the grid that
+mapping needs — XLA compiles both sides natively; a fused Pallas variant with
+double-buffered HBM->VMEM corner DMA lives in ops/trilinear_pallas.py for the
+hot path.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def normalize_coords(pts: jnp.ndarray, bound: jnp.ndarray) -> jnp.ndarray:
+    """World points ``[..., 3]`` -> normalized [-1, 1]^3 via ``bound [3, 2]``.
+
+    Reference: include/torchlib/utils.h:132-139.
+    """
+    lo = bound[:, 0]
+    hi = bound[:, 1]
+    return (pts - lo) / (hi - lo) * 2.0 - 1.0
+
+
+def sample_grid(
+    grid: jnp.ndarray, pts: jnp.ndarray, bound: jnp.ndarray
+) -> jnp.ndarray:
+    """Trilinearly sample ``grid [Z, Y, X, C]`` at world points ``pts [N, 3]``.
+
+    Returns ``[N, C]``. Border padding: out-of-bound points clamp to the edge
+    voxel (matching padding_mode='border'); the renderer masks them anyway
+    via the occupancy override (src/Renderer.cpp:36).
+    """
+    nz, ny, nx, C = grid.shape
+    n = normalize_coords(pts, bound)  # [...,3] in [-1,1], xyz order
+
+    # align_corners=True: -1 -> 0, +1 -> dim-1.
+    vx = jnp.clip((n[..., 0] + 1.0) * 0.5 * (nx - 1), 0.0, nx - 1)
+    vy = jnp.clip((n[..., 1] + 1.0) * 0.5 * (ny - 1), 0.0, ny - 1)
+    vz = jnp.clip((n[..., 2] + 1.0) * 0.5 * (nz - 1), 0.0, nz - 1)
+
+    x0 = jnp.floor(vx).astype(jnp.int32)
+    y0 = jnp.floor(vy).astype(jnp.int32)
+    z0 = jnp.floor(vz).astype(jnp.int32)
+    x0 = jnp.clip(x0, 0, nx - 1)
+    y0 = jnp.clip(y0, 0, ny - 1)
+    z0 = jnp.clip(z0, 0, nz - 1)
+    x1 = jnp.minimum(x0 + 1, nx - 1)
+    y1 = jnp.minimum(y0 + 1, ny - 1)
+    z1 = jnp.minimum(z0 + 1, nz - 1)
+
+    wx = (vx - x0.astype(vx.dtype))[..., None]
+    wy = (vy - y0.astype(vy.dtype))[..., None]
+    wz = (vz - z0.astype(vz.dtype))[..., None]
+
+    flat = grid.reshape(-1, C)
+
+    def corner(z, y, x):
+        return jnp.take(flat, (z * ny + y) * nx + x, axis=0)
+
+    c000 = corner(z0, y0, x0)
+    c001 = corner(z0, y0, x1)
+    c010 = corner(z0, y1, x0)
+    c011 = corner(z0, y1, x1)
+    c100 = corner(z1, y0, x0)
+    c101 = corner(z1, y0, x1)
+    c110 = corner(z1, y1, x0)
+    c111 = corner(z1, y1, x1)
+
+    c00 = c000 * (1 - wx) + c001 * wx
+    c01 = c010 * (1 - wx) + c011 * wx
+    c10 = c100 * (1 - wx) + c101 * wx
+    c11 = c110 * (1 - wx) + c111 * wx
+    c0 = c00 * (1 - wy) + c01 * wy
+    c1 = c10 * (1 - wy) + c11 * wy
+    return c0 * (1 - wz) + c1 * wz
