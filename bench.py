@@ -1,0 +1,94 @@
+"""End-to-end SLAM benchmark on the reference workload envelope.
+
+Runs the full tracker+mapper loop on the synthetic analytic scene at the
+reference's budgets (BASELINE.md: 640x480 RGB-D, tracking 200 rays x 10
+iters/frame, mapping 1000 rays x 60 iters every 5th frame, 32+16 samples,
+c_dim 32 grid hierarchy), on whatever accelerator jax exposes (one TPU chip
+under the driver), and reports steady-state tracked frames/s.
+
+vs_baseline anchors to 1.0 frames/s — the reference-class system's
+single-GPU envelope (upstream NICE-SLAM runs well under 1 fps end-to-end;
+BASELINE.md "External anchor"). The BASELINE target is >= 2x that.
+
+Prints exactly one JSON line on stdout.
+"""
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import numpy as np
+
+    from niceslam_tpu.config.schema import (
+        CamConfig,
+        GridLenConfig,
+        MappingConfig,
+        SLAMConfig,
+        TrackingConfig,
+    )
+    from niceslam_tpu.io.datasets.synthetic import SyntheticBoxReader
+    from niceslam_tpu.slam.system import NiceSLAM
+
+    cfg = SLAMConfig(
+        dataset="synthetic",
+        bound=((-4.5, 3.82), (-1.5, 2.02), (-3.0, 2.76)),
+        cam=CamConfig(H=480, W=640, fx=360.0, fy=360.0, cx=320.0, cy=240.0),
+        grid_len=GridLenConfig(),
+        tracking=TrackingConfig(pixels=200, iters=10),
+        mapping=MappingConfig(
+            pixels=1000,
+            iters_first=1500,
+            iters=60,
+            every_frame=5,
+            keyframe_every=10,
+            mapping_window_size=5,
+            max_keyframes=64,
+            color_refine=False,
+        ),
+        coarse=True,
+        verbose=False,
+    )
+    n_frames = 36
+    reader = SyntheticBoxReader(cfg, n_frames=n_frames)
+    slam = NiceSLAM(cfg, reader=reader)
+
+    # Warmup: frame 0 (map init) + first mapping event compile all programs.
+    t0 = time.perf_counter()
+    warm = 6
+    for i in range(warm):
+        slam.step(reader[i])
+    t_warm = time.perf_counter() - t0
+    log(f"warmup {warm} frames (incl. compiles): {t_warm:.1f}s")
+
+    t0 = time.perf_counter()
+    for i in range(warm, n_frames):
+        slam.step(reader[i])
+    dt = time.perf_counter() - t0
+    fps = (n_frames - warm) / dt
+    res = slam.result()
+    ate = res.get("ate_rmse")
+    log(
+        f"steady-state: {n_frames - warm} frames in {dt:.1f}s -> {fps:.3f} fps; "
+        f"ATE RMSE = {None if ate is None else round(ate * 100, 3)} cm"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_tracked_frames_per_s",
+                "value": round(fps, 4),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 1.0, 4),
+                "ate_rmse_cm": None if ate is None else round(ate * 100, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

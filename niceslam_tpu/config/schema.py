@@ -1,0 +1,261 @@
+"""Typed, validated configuration system.
+
+The reference threads raw ``YAML::Node``s through every constructor and reads
+keys at use sites with no schema, no validation, and hard-coded absolute
+paths (reference: src/main.cpp:7-8, src/Tracker.cpp:14-30, src/Mapper.cpp:
+11-33; SURVEY.md §5 "Config / flag system"). Here: frozen dataclasses with
+defaults mirroring config/nice_slam.yaml, a YAML loader with dataset-overlay
+semantics (base algorithm config + per-dataset file, like the reference's
+nice_slam.yaml + cofusion.yaml split), and dotted-path CLI overrides.
+
+Dataclasses are hashable (frozen) so they can ride as static jit arguments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, replace
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class CamConfig:
+    """Pinhole camera + depth scaling (config/nice_slam.yaml cam block)."""
+
+    H: int = 480
+    W: int = 640
+    fx: float = 360.0
+    fy: float = 360.0
+    cx: float = 320.0
+    cy: float = 240.0
+    png_depth_scale: float = 1.0
+    crop_edge: int = 0
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    ignore_edge_W: int = 20
+    ignore_edge_H: int = 20
+    use_color_in_tracking: bool = True
+    handle_dynamic: bool = True
+    w_color_loss: float = 0.5
+    seperate_LR: bool = False  # (sic) upstream key spelling preserved in YAML
+    const_speed_assumption: bool = True
+    gt_camera: bool = False
+    lr: float = 0.001
+    pixels: int = 200
+    iters: int = 10
+    vis_freq: int = 50
+    vis_inside_freq: int = 25
+    no_vis_on_first_frame: bool = True
+
+
+@dataclass(frozen=True)
+class StageLR:
+    """Per-stage learning rates (config/nice_slam.yaml mapping.stage)."""
+
+    decoders_lr: float = 0.0
+    coarse_lr: float = 0.0
+    middle_lr: float = 0.0
+    fine_lr: float = 0.0
+    color_lr: float = 0.0
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    color_refine: bool = True
+    middle_iter_ratio: float = 0.4
+    fine_iter_ratio: float = 0.6
+    every_frame: int = 5
+    BA: bool = True
+    BA_cam_lr: float = 0.001
+    fix_fine: bool = True
+    fix_color: bool = False
+    keyframe_every: int = 50
+    mapping_window_size: int = 5
+    w_color_loss: float = 0.2
+    frustum_feature_selection: bool = True
+    keyframe_selection_method: str = "overlap"
+    lr_first_factor: float = 5.0
+    lr_factor: float = 1.0
+    pixels: int = 1000
+    iters_first: int = 1500
+    iters: int = 60
+    max_keyframes: int = 128  # static ring-buffer capacity (new; TPU shapes)
+    stage_coarse: StageLR = StageLR(coarse_lr=0.001)
+    stage_middle: StageLR = StageLR(middle_lr=0.1)
+    stage_fine: StageLR = StageLR(middle_lr=0.005, fine_lr=0.005)
+    stage_color: StageLR = StageLR(
+        decoders_lr=0.005, middle_lr=0.005, fine_lr=0.005, color_lr=0.005
+    )
+    vis_freq: int = 50
+    mesh_freq: int = 50
+    ckpt_freq: int = 500
+
+    def stage_lr(self, stage: str) -> StageLR:
+        return getattr(self, f"stage_{stage}")
+
+
+@dataclass(frozen=True)
+class RenderingConfig:
+    N_samples: int = 32
+    N_surface: int = 16
+    N_importance: int = 0
+    lindisp: bool = False
+    perturb: float = 0.0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    c_dim: int = 32
+    hidden_size: int = 32
+    coarse_bound_enlarge: float = 2.0
+    pos_embedding_method: str = "fourier"
+
+
+@dataclass(frozen=True)
+class GridLenConfig:
+    coarse: float = 2.0
+    middle: float = 0.32
+    fine: float = 0.16
+    color: float = 0.16
+    bound_divisable: float = 0.32
+
+
+@dataclass(frozen=True)
+class SLAMConfig:
+    """Top-level system config (mirrors config/nice_slam.yaml)."""
+
+    coarse: bool = True
+    sync_method: str = "strict"
+    scale: float = 1.0
+    verbose: bool = True
+    occupancy: bool = True
+    dataset: str = "synthetic"
+    data_input_folder: str = ""
+    output: str = "output"
+    # Scene bound [[x0,x1],[y0,y1],[z0,z1]] - config-driven, never hard-coded
+    # (fixes SURVEY.md §2.9.11).
+    bound: Tuple[Tuple[float, float], ...] = (
+        (-4.5, 3.82),
+        (-1.5, 2.02),
+        (-3.0, 2.76),
+    )
+    grid_len: GridLenConfig = GridLenConfig()
+    model: ModelConfig = ModelConfig()
+    cam: CamConfig = CamConfig()
+    tracking: TrackingConfig = TrackingConfig()
+    mapping: MappingConfig = MappingConfig()
+    rendering: RenderingConfig = RenderingConfig()
+    pretrained_coarse: str = ""
+    pretrained_middle_fine: str = ""
+
+
+_NESTED = {
+    "grid_len": GridLenConfig,
+    "model": ModelConfig,
+    "cam": CamConfig,
+    "tracking": TrackingConfig,
+    "mapping": MappingConfig,
+    "rendering": RenderingConfig,
+}
+
+_KEY_ALIASES = {
+    # upstream yaml key -> dataclass field
+    "hidden": "hidden_size",
+}
+
+
+def _build(cls, data: Dict[str, Any]):
+    """Construct a dataclass from a dict, validating keys and types."""
+    valid = {f.name: f for f in fields(cls)}
+    kwargs = {}
+    for k, v in data.items():
+        k = _KEY_ALIASES.get(k, k)
+        if k == "stage" and cls is MappingConfig:
+            for s, lrs in v.items():
+                kwargs[f"stage_{s}"] = _build(StageLR, lrs)
+            continue
+        if k not in valid:
+            raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
+        f = valid[k]
+        if dataclasses.is_dataclass(f.type) or f.name in _NESTED:
+            kwargs[k] = _build(_NESTED[f.name], v)
+        elif f.name == "bound":
+            kwargs[k] = tuple(tuple(float(x) for x in row) for row in v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def _deep_merge(base: Dict[str, Any], over: Dict[str, Any]) -> Dict[str, Any]:
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _apply_overrides(data: Dict[str, Any], overrides: Dict[str, Any]):
+    for dotted, v in overrides.items():
+        node = data
+        parts = dotted.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return data
+
+
+def load_config(
+    path: str | Path | None = None,
+    base: str | Path | None = None,
+    overrides: Optional[Dict[str, Any]] = None,
+) -> SLAMConfig:
+    """Load a dataset config, overlaying it on a base algorithm config.
+
+    ``path`` may declare ``inherit_from: <relative path>``; explicit ``base``
+    wins over that. Overrides use dotted paths: ``{"tracking.lr": 0.01}``.
+    """
+    data: Dict[str, Any] = {}
+    if path is not None:
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+    inherit = data.pop("inherit_from", None)
+    if base is None and inherit is not None and path is not None:
+        base = Path(path).parent / inherit
+    if base is not None:
+        with open(base) as f:
+            base_data = yaml.safe_load(f) or {}
+        data = _deep_merge(base_data, data)
+    if overrides:
+        data = _apply_overrides(data, overrides)
+    # normalize alternate key spellings from upstream-style yamls
+    for blk in ("tracking", "mapping"):
+        blk_d = data.get(blk)
+        if isinstance(blk_d, dict):
+            blk_d.pop("device", None)  # device pinning is meaningless here
+            for k in ("no_mesh_on_first_frame", "no_log_on_first_frame",
+                      "save_selected_keyframes_info", "vis_inside_freq"):
+                if blk != "tracking" or k != "vis_inside_freq":
+                    blk_d.pop(k, None)
+    if isinstance(data.get("data"), dict):
+        d = data.pop("data")
+        if "input_folder" in d:
+            data["data_input_folder"] = d["input_folder"]
+        if "output" in d:
+            data["output"] = d["output"]
+    if isinstance(data.get("pretrained_decoders"), dict):
+        pd = data.pop("pretrained_decoders")
+        data["pretrained_coarse"] = pd.get("coarse", "")
+        data["pretrained_middle_fine"] = pd.get("middle_fine", "")
+    data.pop("meshing", None)  # meshing params live in eval/mesher.py call
+    data.pop("low_gpu_mem", None)
+    return _build(SLAMConfig, data)
+
+
+def with_override(cfg: SLAMConfig, **kw) -> SLAMConfig:
+    return replace(cfg, **kw)

@@ -1,0 +1,435 @@
+"""NiceSLAM system driver: the per-frame track/map loop.
+
+The reference's driver is *implied, not written* — main() calls a
+Tracker::run overload that does not exist and never invokes the Mapper
+(reference: src/main.cpp:96, SURVEY.md §2.9.1-2). This module supplies the
+upstream-intent loop:
+
+    frame 0:     mapper initialization (iters_first, lr_first_factor)
+    every frame: track (warm-started by the constant-speed model)
+    every `every_frame`-th frame: coarse mapper pass, then staged mapping
+    final frame: color-refinement pass (window x2, all-color stages)
+
+Sync semantics: the upstream two-process "strict" handshake collapses to a
+sequential publish — the tracker always sees the mapper's latest published
+``MapState`` snapshot (a versioned immutable pytree), which is exactly what
+strict-mode lockstep guarantees (SURVEY.md §5 "Race detection"). The
+multi-chip variant (parallel/) shards the mapping step over a device mesh
+without changing this driver contract.
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import SLAMConfig
+from ..core.pose import constant_speed_warm_start, tensor_from_camera
+from ..core.rays import Intrinsics
+from ..grid.hierarchy import GridConfig
+from ..io.datasets.base import Frame, FrameReader, get_dataset
+from ..models.decoders import DecoderConfig
+from ..render.renderer import RenderConfig
+from ..utils.logging import MetricsLogger
+from . import keyframes as kf_mod
+from .mapper import MapOptConfig, build_stage_plan, optimize_window
+from .state import MapState, add_keyframe, init_state
+from .tracker import TrackConfig, track_frame
+
+
+class NiceSLAM:
+    """Single-host SLAM engine over an RGB-D frame stream."""
+
+    def __init__(
+        self,
+        cfg: SLAMConfig,
+        reader: Optional[FrameReader] = None,
+        log_path: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.reader = reader if reader is not None else get_dataset(cfg)
+        c = cfg.cam
+        self.intr = Intrinsics(
+            H=c.H - 2 * c.crop_edge,
+            W=c.W - 2 * c.crop_edge,
+            fx=c.fx,
+            fy=c.fy,
+            cx=c.cx - c.crop_edge,
+            cy=c.cy - c.crop_edge,
+        )
+        self.key = jax.random.PRNGKey(seed)
+        gl = cfg.grid_len
+        grid_cfg = GridConfig(
+            coarse_len=gl.coarse,
+            middle_len=gl.middle,
+            fine_len=gl.fine,
+            color_len=gl.color,
+            bound_divisable=gl.bound_divisable,
+            c_dim=cfg.model.c_dim,
+            coarse_bound_enlarge=cfg.model.coarse_bound_enlarge,
+        )
+        dec_cfg = DecoderConfig(
+            c_dim=cfg.model.c_dim, hidden=cfg.model.hidden_size,
+            coarse=cfg.coarse,
+        )
+        self.state, self.bounds, bound = init_state(
+            self._next_key(),
+            np.asarray(cfg.bound, np.float32) * cfg.scale,
+            self.intr.H,
+            self.intr.W,
+            grid_cfg,
+            dec_cfg,
+            kf_capacity=cfg.mapping.max_keyframes,
+        )
+        self.scene_bound = jnp.asarray(bound)
+        self.rcfg = RenderConfig(
+            n_samples=cfg.rendering.N_samples,
+            n_surface=cfg.rendering.N_surface,
+            n_importance=cfg.rendering.N_importance,
+            perturb=cfg.rendering.perturb,
+            lindisp=cfg.rendering.lindisp,
+            occupancy=cfg.occupancy,
+        )
+        t = cfg.tracking
+        self.tcfg = TrackConfig(
+            pixels=t.pixels,
+            iters=t.iters,
+            lr=t.lr,
+            separate_LR=t.seperate_LR,
+            use_color=t.use_color_in_tracking,
+            w_color_loss=t.w_color_loss,
+            handle_dynamic=t.handle_dynamic,
+            ignore_edge_H=t.ignore_edge_H,
+            ignore_edge_W=t.ignore_edge_W,
+        )
+        self.est_c2w: List[np.ndarray] = []
+        self.gt_c2w: List[Optional[np.ndarray]] = []
+        self.track_losses: List[float] = []
+        self.log = MetricsLogger(log_path, verbose=cfg.verbose)
+        self.n_imgs = len(self.reader)
+        # mapping-step function override hook (parallel/ injects the sharded
+        # version; same signature as mapper.optimize_window).
+        self.optimize_window_fn = optimize_window
+
+    # ------------------------------------------------------------------ util
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _published(self):
+        """Map snapshot the tracker pins for this frame (strict sync)."""
+        return self.state
+
+    # -------------------------------------------------------------- tracking
+    def track(self, frame: Frame) -> np.ndarray:
+        cfgt = self.cfg.tracking
+        idx = len(self.est_c2w)
+        gt = frame.gt_c2w if frame.gt_c2w is not None else np.eye(4, dtype=np.float32)
+        if idx == 0 or cfgt.gt_camera:
+            c2w = np.asarray(gt, np.float32)
+            losses = []
+        else:
+            if cfgt.const_speed_assumption and idx >= 2:
+                init = np.asarray(
+                    constant_speed_warm_start(
+                        jnp.asarray(self.est_c2w[-1]),
+                        jnp.asarray(self.est_c2w[-2]),
+                    )
+                )
+            else:
+                init = self.est_c2w[-1]
+            snap = self._published()
+            c2w_j, loss_curve = track_frame(
+                snap.decoders,
+                snap.grids,
+                self.bounds,
+                self.scene_bound,
+                self.intr,
+                jnp.asarray(frame.color),
+                jnp.asarray(frame.depth),
+                jnp.asarray(init),
+                self._next_key(),
+                self.tcfg,
+                self.rcfg,
+            )
+            c2w = np.asarray(c2w_j)
+            losses = [float(x) for x in np.asarray(loss_curve)]
+        self.est_c2w.append(c2w.astype(np.float32))
+        self.gt_c2w.append(
+            None if frame.gt_c2w is None else np.asarray(frame.gt_c2w)
+        )
+        if losses:
+            self.track_losses.append(losses[-1])
+        return c2w
+
+    # --------------------------------------------------------------- mapping
+    def _window_slots(self, idx: int, coarse: bool):
+        """Pick keyframe slots for the optimization window (host-side).
+
+        Mirrors upstream: (window-2) overlap/global-selected keyframes
+        + the most recent keyframe + the current frame.
+        """
+        db = self.state.keyframes
+        count = int(db.count)
+        wsize = self.cfg.mapping.mapping_window_size
+        n_sel = wsize - 2
+        slots: List[int] = []
+        if count > 0:
+            last = (count - 1) % db.capacity
+            prev_slots = [s % db.capacity for s in range(max(0, count - db.capacity), count - 1)]
+            if prev_slots and n_sel > 0:
+                method = (
+                    "global" if coarse else self.cfg.mapping.keyframe_selection_method
+                )
+                if method == "global":
+                    rng = np.random.default_rng(idx)
+                    pick = rng.permutation(prev_slots)[:n_sel]
+                    slots = [int(s) for s in pick]
+                else:
+                    pct = kf_mod.keyframe_overlap_percentages(
+                        self._next_key(),
+                        self.intr,
+                        jnp.asarray(self.est_c2w[-1]),
+                        jnp.asarray(self._cur_depth),
+                        jnp.asarray(self._cur_color),
+                        db.est_c2w,
+                    )
+                    valid = np.zeros(db.capacity, bool)
+                    valid[prev_slots] = True
+                    p = np.asarray(pct)
+                    cand = [s for s in prev_slots if p[s] > 0]
+                    rng = np.random.default_rng(idx)
+                    slots = [int(s) for s in rng.permutation(cand)[:n_sel]]
+            slots = slots + [last]
+        return slots, wsize
+
+    def map_frame(self, frame: Frame, first: bool = False):
+        """One mapping event: optional coarse pass + staged fine mapping."""
+        m = self.cfg.mapping
+        idx = len(self.est_c2w) - 1
+        self._cur_color, self._cur_depth = frame.color, frame.depth
+        cur_c2w = self.est_c2w[-1]
+
+        is_last = idx == self.n_imgs - 1
+        if first:
+            plans = [("init", m.iters_first, m.lr_first_factor, 1)]
+        elif is_last and m.color_refine:
+            plans = [("refine", m.iters, m.lr_factor, 5)]
+        else:
+            plans = [("normal", m.iters, m.lr_factor, 1)]
+
+        mode, iters, lr_factor, outer = plans[0]
+        if self.cfg.coarse and not first:
+            self._run_mapper(
+                frame, cur_c2w, iters, lr_factor, coarse=True, refine=False
+            )
+        for _ in range(outer):
+            cur_c2w = self._run_mapper(
+                frame,
+                cur_c2w,
+                iters // outer if mode == "refine" else iters,
+                lr_factor,
+                coarse=False,
+                refine=(mode == "refine"),
+            )
+        self.est_c2w[-1] = np.asarray(cur_c2w, np.float32)
+
+        # Keyframe admission (src/Mapper.cpp:537-550 / upstream).
+        if (idx % m.keyframe_every == 0 or idx == self.n_imgs - 2) and not self._is_keyframe(idx):
+            gt = self.gt_c2w[-1]
+            self.state = self.state._replace(
+                keyframes=add_keyframe(
+                    self.state.keyframes,
+                    jnp.asarray(frame.color),
+                    jnp.asarray(frame.depth),
+                    jnp.asarray(self.est_c2w[-1]),
+                    jnp.asarray(gt if gt is not None else np.eye(4, dtype=np.float32)),
+                    idx,
+                )
+            )
+        self.state = self.state._replace(version=self.state.version + 1)
+
+    def _is_keyframe(self, idx: int) -> bool:
+        db = self.state.keyframes
+        return bool(np.any(np.asarray(db.frame_idx) == idx))
+
+    def _run_mapper(
+        self, frame: Frame, cur_c2w, iters, lr_factor, coarse: bool, refine: bool
+    ):
+        m = self.cfg.mapping
+        db = self.state.keyframes
+        idx = len(self.est_c2w) - 1
+        slots, wsize = self._window_slots(idx, coarse)
+        if refine:
+            wsize *= 2
+            # refine mode widens the window with more keyframes
+            count = int(db.count)
+            extra = [
+                s % db.capacity
+                for s in range(max(0, count - db.capacity), count)
+            ]
+            for s in extra:
+                if s not in slots and len(slots) < wsize - 1:
+                    slots.append(s)
+        F = wsize  # static window size (slots padded below)
+        n_valid = len(slots) + 1
+
+        colors = np.zeros((F, self.intr.H, self.intr.W, 3), np.float32)
+        depths = np.zeros((F, self.intr.H, self.intr.W), np.float32)
+        cams = np.zeros((F, 7), np.float32)
+        cams[:, 0] = 1.0  # identity quaternion for padded slots
+        valid = np.zeros((F,), bool)
+        fixed = np.ones((F,), bool)
+
+        db_colors = np.asarray(db.colors)
+        db_depths = np.asarray(db.depths)
+        db_poses = np.asarray(db.est_c2w)
+        frame_indices = np.asarray(db.frame_idx)
+        oldest = None
+        for w, s in enumerate(slots):
+            colors[w] = db_colors[s]
+            depths[w] = db_depths[s]
+            cams[w] = np.asarray(tensor_from_camera(jnp.asarray(db_poses[s])))
+            valid[w] = True
+            if oldest is None or frame_indices[s] < frame_indices[slots[oldest]]:
+                oldest = w
+        # current frame in the last used slot
+        wcur = len(slots)
+        colors[wcur] = frame.color
+        depths[wcur] = frame.depth
+        cams[wcur] = np.asarray(tensor_from_camera(jnp.asarray(cur_c2w)))
+        valid[wcur] = True
+
+        ba = (
+            m.BA
+            and int(db.count) > 4
+            and not coarse
+            and not refine
+        )
+        if ba:
+            fixed[:] = ~valid
+            if oldest is not None:
+                fixed[oldest] = True  # pin the oldest keyframe (anti-drift)
+
+        mcfg = MapOptConfig(
+            pixels=m.pixels,
+            w_color_loss=m.w_color_loss,
+            BA=ba,
+            BA_cam_lr=m.BA_cam_lr,
+            fix_fine=m.fix_fine,
+            fix_color=m.fix_color or refine,
+            frustum_feature_selection=m.frustum_feature_selection and not refine,
+            lr_factor=float(lr_factor),
+        )
+        plan = build_stage_plan(
+            iters,
+            0.0 if refine else m.middle_iter_ratio,
+            0.0 if refine else m.fine_iter_ratio,
+            m.stage_lr,
+            coarse=coarse,
+        )
+        poses44 = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+        for w, s in enumerate(slots):
+            poses44[w] = db_poses[s]
+        poses44[wcur] = cur_c2w
+        if mcfg.frustum_feature_selection:
+            masks = kf_mod.frustum_masks_for_levels(
+                jnp.asarray(poses44),
+                jnp.asarray(valid),
+                jnp.asarray(depths),
+                self.intr,
+                self.bounds,
+                self.state.grids,
+            )
+        else:
+            masks = {
+                lvl: jnp.ones(g.shape[:3] + (1,), g.dtype)
+                for lvl, g in self.state.grids.items()
+            }
+
+        ppf = max(m.pixels // n_valid, 1)
+        grids, decoders, new_cams, losses = self.optimize_window_fn(
+            self.state.grids,
+            self.state.decoders,
+            jnp.asarray(cams),
+            masks,
+            self.bounds,
+            self.scene_bound,
+            self.intr,
+            jnp.asarray(colors),
+            jnp.asarray(depths),
+            jnp.asarray(valid),
+            jnp.asarray(fixed),
+            self._next_key(),
+            plan,
+            mcfg,
+            self.rcfg,
+            ppf,
+        )
+        self.state = self.state._replace(grids=grids, decoders=decoders)
+        self.log.log(
+            {
+                "event": "map",
+                "frame": idx,
+                "coarse": coarse,
+                "stages": [p[0] for p in plan],
+                "loss_first": float(np.asarray(losses)[0]),
+                "loss_last": float(np.asarray(losses)[-1]),
+            }
+        )
+
+        from ..core.pose import camera_from_tensor, to_homogeneous
+
+        if ba:
+            # write optimized keyframe poses back (src/Mapper.cpp:467-489)
+            new_poses = np.asarray(to_homogeneous(camera_from_tensor(new_cams)))
+            kf_poses = self.state.keyframes.est_c2w
+            for w, s in enumerate(slots):
+                if not fixed[w]:
+                    kf_poses = kf_poses.at[s].set(jnp.asarray(new_poses[w]))
+            self.state = self.state._replace(
+                keyframes=self.state.keyframes._replace(est_c2w=kf_poses)
+            )
+            if not fixed[wcur]:
+                return new_poses[wcur]
+        return np.asarray(cur_c2w)
+
+    # ------------------------------------------------------------------ run
+    def step(self, frame: Frame):
+        """Process one frame: track, then map if scheduled."""
+        idx = len(self.est_c2w)
+        t0 = time.perf_counter()
+        first = idx == 0
+        self.track(frame)
+        if first or (idx % self.cfg.mapping.every_frame == 0) or idx == self.n_imgs - 1:
+            self.map_frame(frame, first=first)
+        self.log.frame_done()
+        self.log.log(
+            {
+                "event": "frame",
+                "frame": idx,
+                "dt": round(time.perf_counter() - t0, 4),
+                "fps_avg": round(self.log.fps, 3),
+                "track_loss": self.track_losses[-1] if idx > 0 and self.track_losses else None,
+            }
+        )
+
+    def run(self, n_frames: Optional[int] = None):
+        n = len(self.reader) if n_frames is None else min(n_frames, len(self.reader))
+        self.n_imgs = n
+        for i in range(n):
+            self.step(self.reader[i])
+        return self.result()
+
+    def result(self):
+        out = {"est_c2w": self.est_c2w, "gt_c2w": self.gt_c2w}
+        gts = [g for g in self.gt_c2w if g is not None]
+        if len(gts) == len(self.est_c2w) and len(gts) > 1:
+            from ..eval.ate import ate_rmse
+
+            out["ate_rmse"] = ate_rmse(self.est_c2w, gts)
+        return out

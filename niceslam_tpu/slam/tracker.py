@@ -1,0 +1,160 @@
+"""Camera tracker: per-frame pose optimization against the rendered map.
+
+TPU-native re-design of the reference tracker
+(reference: src/Tracker.cpp:41-113 optimize_cam_in_batch / run). The
+reference's 10 python-side Adam iterations with per-iteration H2D copies
+become ONE jitted ``lax.scan`` — the whole frame (sample -> render ->
+uncertainty-weighted loss -> grad -> Adam step, x iters) is a single XLA
+program, so per-frame tracking latency is one dispatch (SURVEY.md §7.3
+"Tracking latency vs. jit").
+
+Semantic fidelity (upstream intent, defects fixed):
+- gradients actually flow: the z-value construction is stop-gradiented, the
+  loss is not (the reference's NoGradGuard+requires_grad_ severed the graph
+  — SURVEY.md §2.9.3);
+- dynamic-pixel rejection: depth-error > 10 x median is masked out
+  (src/Tracker.cpp:67-71), as weight-zeroing, not boolean gather;
+- uncertainty-weighted depth L1 + 0.5-weighted color L1
+  (src/Tracker.cpp:75-82);
+- best-iterate selection: the camera with the lowest loss wins the frame
+  (upstream's candidate_cam_tensor), rather than the last iterate;
+- separate_LR: translation at lr, quaternion at 0.2 x lr via optax
+  multi_transform on the 7-vector (upstream's two param groups);
+- warm start via the constant-speed motion model lives in the driver
+  (core/pose.constant_speed_warm_start) — the reference's "TO DO" §2.9.10.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.pose import camera_from_tensor, tensor_from_camera, to_homogeneous
+from ..core.rays import Intrinsics, sample_rays
+from ..render.renderer import RenderConfig, render_rays
+
+
+class TrackConfig(NamedTuple):
+    pixels: int = 200
+    iters: int = 10
+    lr: float = 1e-3
+    separate_LR: bool = False
+    use_color: bool = True
+    w_color_loss: float = 0.5
+    handle_dynamic: bool = True
+    ignore_edge_H: int = 20
+    ignore_edge_W: int = 20
+
+
+def _make_optimizer(cfg: TrackConfig) -> optax.GradientTransformation:
+    if not cfg.separate_LR:
+        return optax.adam(cfg.lr)
+    # quaternion (first 4) at 0.2*lr, translation (last 3) at lr.
+    labels = jnp.array([0, 0, 0, 0, 1, 1, 1])
+    return optax.multi_transform(
+        {0: optax.adam(cfg.lr * 0.2), 1: optax.adam(cfg.lr)},
+        lambda _: labels,
+    )
+
+
+def tracking_loss(
+    params,
+    grids,
+    bounds,
+    scene_bound,
+    intr: Intrinsics,
+    cam_tensor: jnp.ndarray,
+    color: jnp.ndarray,
+    depth: jnp.ndarray,
+    key: jax.Array,
+    cfg: TrackConfig,
+    rcfg: RenderConfig,
+) -> jnp.ndarray:
+    """One ray-batch tracking loss at the given camera tensor."""
+    c2w = to_homogeneous(camera_from_tensor(cam_tensor))
+    batch = sample_rays(
+        key,
+        intr,
+        c2w,
+        depth,
+        color,
+        cfg.pixels,
+        edge_h=cfg.ignore_edge_H,
+        edge_w=cfg.ignore_edge_W,
+    )
+    out = render_rays(
+        params,
+        grids,
+        bounds,
+        scene_bound,
+        batch.rays_o,
+        batch.rays_d,
+        batch.gt_depth,
+        "color",
+        rcfg,
+    )
+    unc = jax.lax.stop_gradient(out.depth_var)
+    err = jnp.abs(batch.gt_depth - out.depth) / jnp.sqrt(unc + 1e-10)
+    mask = batch.gt_depth > 0
+    if cfg.handle_dynamic:
+        med = jnp.median(jax.lax.stop_gradient(err))
+        mask = mask & (jax.lax.stop_gradient(err) < 10.0 * med)
+    w = mask.astype(err.dtype)
+    loss = jnp.sum(err * w)
+    if cfg.use_color:
+        closs = jnp.sum(jnp.abs(batch.gt_color - out.rgb) * w[:, None])
+        loss = loss + cfg.w_color_loss * closs
+    return loss
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "rcfg"))
+def track_frame(
+    params,
+    grids: Dict[str, jnp.ndarray],
+    bounds: Dict[str, jnp.ndarray],
+    scene_bound: jnp.ndarray,
+    intr: Intrinsics,
+    color: jnp.ndarray,
+    depth: jnp.ndarray,
+    init_c2w: jnp.ndarray,
+    key: jax.Array,
+    cfg: TrackConfig = TrackConfig(),
+    rcfg: RenderConfig = RenderConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Optimize the frame's pose from ``init_c2w``; returns ``(c2w, losses)``.
+
+    ``c2w`` is the best iterate (lowest batch loss); ``losses`` is the
+    per-iteration loss curve ``[iters]`` for observability.
+    """
+    cam0 = tensor_from_camera(init_c2w)
+    opt = _make_optimizer(cfg)
+    opt_state0 = opt.init(cam0)
+
+    grad_fn = jax.value_and_grad(
+        lambda cam, k: tracking_loss(
+            params, grids, bounds, scene_bound, intr, cam, color, depth, k,
+            cfg, rcfg,
+        )
+    )
+
+    def step(carry, it):
+        cam, opt_state, best_cam, best_loss = carry
+        k = jax.random.fold_in(key, it)
+        loss, g = grad_fn(cam, k)
+        updates, opt_state = opt.update(g, opt_state, cam)
+        new_cam = optax.apply_updates(cam, updates)
+        # Upstream keeps the post-step tensor when the pre-step loss improves.
+        better = loss < best_loss
+        best_cam = jnp.where(better, new_cam, best_cam)
+        best_loss = jnp.where(better, loss, best_loss)
+        return (new_cam, opt_state, best_cam, best_loss), loss
+
+    (_, _, best_cam, _), losses = jax.lax.scan(
+        step,
+        (cam0, opt_state0, cam0, jnp.inf),
+        jnp.arange(cfg.iters),
+    )
+    return to_homogeneous(camera_from_tensor(best_cam)), losses

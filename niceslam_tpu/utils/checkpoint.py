@@ -1,0 +1,60 @@
+"""Checkpoint / resume via orbax.
+
+The reference declares ``ckpt_freq`` in config but never reads it and has no
+checkpoint code (reference: config/nice_slam.yaml:59, SURVEY.md §5
+"Checkpoint / resume"). This implements the intended behavior: periodic
+snapshots of {grids, decoder params, keyframe DB, trajectory} and restart
+from the last published snapshot — which is also the failure-recovery story
+for multi-host runs (SPMD slices die whole; recovery = reload + resume,
+SURVEY.md §5 "Failure detection").
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..slam.state import KeyframeDB, MapState
+
+
+def save_checkpoint(path: str, state: MapState, est_c2w, gt_c2w, frame_idx: int):
+    path = os.path.abspath(path)
+    ckpter = ocp.PyTreeCheckpointer()
+    payload = {
+        "grids": state.grids,
+        "decoders": state.decoders,
+        "keyframes": state.keyframes._asdict(),
+        "version": state.version,
+        "est_c2w": np.asarray(est_c2w),
+        "gt_c2w": np.asarray(
+            [g if g is not None else np.full((4, 4), np.nan) for g in gt_c2w]
+        ),
+        "frame_idx": np.asarray(frame_idx),
+    }
+    ckpter.save(path, payload, force=True)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    path = os.path.abspath(path)
+    ckpter = ocp.PyTreeCheckpointer()
+    payload = ckpter.restore(path)
+    kf = payload["keyframes"]
+    state = MapState(
+        grids=payload["grids"],
+        decoders=payload["decoders"],
+        keyframes=KeyframeDB(**kf),
+        version=payload["version"],
+    )
+    gt_list = [
+        None if np.isnan(g).any() else np.asarray(g)
+        for g in payload["gt_c2w"]
+    ]
+    return {
+        "state": state,
+        "est_c2w": [np.asarray(p) for p in payload["est_c2w"]],
+        "gt_c2w": gt_list,
+        "frame_idx": int(payload["frame_idx"]),
+    }

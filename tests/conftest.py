@@ -13,6 +13,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# CPU compiles of the mapper/tracker programs take minutes; the persistent
+# cache makes test re-runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-niceslam")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
