@@ -22,6 +22,18 @@ def log(*a):
 
 
 def main():
+    import os
+
+    import jax
+
+    # Persistent compile cache: TPU (remote-)compiles of the mapper/tracker
+    # programs are tens of seconds; cache them across bench runs.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jaxcache-tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     import numpy as np
 
     from niceslam_tpu.config.schema import (
@@ -61,7 +73,9 @@ def main():
     t0 = time.perf_counter()
     warm = 6
     for i in range(warm):
+        tf = time.perf_counter()
         slam.step(reader[i])
+        log(f"warmup frame {i}: {time.perf_counter() - tf:.1f}s")
     t_warm = time.perf_counter() - t0
     log(f"warmup {warm} frames (incl. compiles): {t_warm:.1f}s")
 

@@ -67,6 +67,46 @@ def merge_z_vals(z_strat: jnp.ndarray, z_surf: jnp.ndarray) -> jnp.ndarray:
     return jnp.sort(jnp.concatenate([z_strat, z_surf], axis=-1), axis=-1)
 
 
+def sample_pdf(
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Inverse-CDF importance sampling of ``n_samples`` z-values per ray.
+
+    The hierarchical-sampling primitive behind N_importance (the reference
+    declares N_importance in config/nice_slam.yaml:108 and src/Renderer.cpp:
+    11 but, with value 0, never exercises it; this is the upstream-intent
+    implementation). ``bins [N, B+1]``, ``weights [N, B]``. Deterministic
+    midpoints when ``key`` is None. Static shapes; the searchsorted lowers
+    to a vectorized binary search.
+    """
+    w = weights + 1e-5
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    if key is None:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(
+            key, cdf.shape[:-1] + (n_samples,), dtype=bins.dtype
+        )
+
+    idx = jax.vmap(jnp.searchsorted)(cdf, u)
+    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_b = jnp.take_along_axis(bins, jnp.clip(below, 0, bins.shape[-1] - 1), axis=-1)
+    bin_a = jnp.take_along_axis(bins, jnp.clip(above, 0, bins.shape[-1] - 1), axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return bin_b + t * (bin_a - bin_b)
+
+
 def points_along_rays(
     rays_o: jnp.ndarray, rays_d: jnp.ndarray, z_vals: jnp.ndarray
 ) -> jnp.ndarray:

@@ -20,6 +20,15 @@ from .base import Frame, crop_frame, opencv_to_opengl, register
 
 
 def _imread_exr(path: str) -> np.ndarray:
+    # Preferred: the native C++ decoder (native/exr.cpp) — the framework's
+    # own tinyexr-equivalent. OpenCV as fallback.
+    from .. import native_loader
+
+    if native_loader.available():
+        try:
+            return native_loader.read_exr(path)
+        except IOError:
+            pass  # unsupported compression -> fall through to OpenCV
     os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
     import cv2
 

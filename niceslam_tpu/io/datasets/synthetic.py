@@ -124,7 +124,13 @@ def circular_trajectory(
 class SyntheticBoxReader:
     """Frame reader over the analytic box scene (config-driven)."""
 
-    def __init__(self, cfg, n_frames: int = 60, depth_noise: float = 0.0):
+    def __init__(
+        self,
+        cfg,
+        n_frames: int = 60,
+        depth_noise: float = 0.0,
+        trajectory_kwargs: dict | None = None,
+    ):
         c = cfg.cam
         self.intr = Intrinsics(
             H=c.H - 2 * c.crop_edge,
@@ -135,7 +141,7 @@ class SyntheticBoxReader:
             cy=c.cy - c.crop_edge,
         )
         self.box = np.asarray(cfg.bound, np.float32) * 0.9
-        self.poses = circular_trajectory(n_frames)
+        self.poses = circular_trajectory(n_frames, **(trajectory_kwargs or {}))
         self.depth_noise = depth_noise
         self._rng = np.random.default_rng(7)
 

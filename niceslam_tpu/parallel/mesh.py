@@ -61,6 +61,20 @@ def activate(mesh: Mesh):
         _ACTIVE = prev
 
 
+def replicate(tree):
+    """Pin every leaf as fully replicated (identity without a mesh).
+
+    Applied to the mapper's outputs: without it GSPMD may auto-tile the
+    updated grids across the mesh in layouts that the host-side driver (and
+    jax's NamedSharding recovery) can't consume.
+    """
+    if _ACTIVE is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, P()), tree
+    )
+
+
 def shard_rays(tree, axis: str = RAY_AXIS):
     """Annotate leading (ray) axis of every leaf as sharded over the mesh.
 

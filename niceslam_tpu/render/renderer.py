@@ -75,22 +75,37 @@ def render_rays(
     else:
         z_vals = z_strat
 
-    pts = sampling.points_along_rays(rays_o, rays_d, z_vals)  # [N, S, 3]
-    n_rays, S = pts.shape[0], pts.shape[1]
-    flat = pts.reshape(-1, 3)
-    raw = nice_forward(params, grids, flat, bounds, stage)  # [N*S, 4]
+    def eval_composite(z_vals):
+        pts = sampling.points_along_rays(rays_o, rays_d, z_vals)  # [N, S, 3]
+        n_rays, S = pts.shape[0], pts.shape[1]
+        flat = pts.reshape(-1, 3)
+        raw = nice_forward(params, grids, flat, bounds, stage)  # [N*S, 4]
 
-    # Out-of-bound override (src/Renderer.cpp:26-36): occupancy := 100.
-    inside = jnp.all(
-        (flat > scene_bound[:, 0]) & (flat < scene_bound[:, 1]), axis=-1
-    )
-    occ = jnp.where(inside, raw[:, 3], 100.0)
-    raw = jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
-    raw = raw.reshape(n_rays, S, 4)
+        # Out-of-bound override (src/Renderer.cpp:26-36): occupancy := 100.
+        inside = jnp.all(
+            (flat > scene_bound[:, 0]) & (flat < scene_bound[:, 1]), axis=-1
+        )
+        occ = jnp.where(inside, raw[:, 3], 100.0)
+        raw = jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
+        raw = raw.reshape(n_rays, S, 4)
+        return compositing.raw_to_outputs(
+            raw, z_vals, rays_d, occupancy=cfg.occupancy
+        )
 
-    return compositing.raw_to_outputs(
-        raw, z_vals, rays_d, occupancy=cfg.occupancy
-    )
+    out = eval_composite(z_vals)
+    if cfg.n_importance > 0:
+        # Hierarchical pass: importance-sample where the first pass put
+        # weight, merge, re-evaluate (upstream N_importance semantics).
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_imp = sampling.sample_pdf(
+            mids,
+            jax.lax.stop_gradient(out.weights[..., 1:-1]),
+            cfg.n_importance,
+            key,
+        )
+        z_all = sampling.merge_z_vals(z_vals, jax.lax.stop_gradient(z_imp))
+        out = eval_composite(z_all)
+    return out
 
 
 @partial(jax.jit, static_argnames=("intr", "stage", "cfg", "rows_per_chunk"))

@@ -263,11 +263,15 @@ def optimize_window(
         offset += n_iters
         losses_all.append(losses)
 
-    return (
-        all_params["grids"],
-        all_params["decoders"],
-        all_params["cams"],
-        jnp.concatenate(losses_all),
+    from ..parallel.mesh import replicate
+
+    return replicate(
+        (
+            all_params["grids"],
+            all_params["decoders"],
+            all_params["cams"],
+            jnp.concatenate(losses_all),
+        )
     )
 
 

@@ -114,6 +114,8 @@ class NiceSLAM:
         # mapping-step function override hook (parallel/ injects the sharded
         # version; same signature as mapper.optimize_window).
         self.optimize_window_fn = optimize_window
+        # optional visual dumps (utils/visualizer.py) every mapping.vis_freq
+        self.vis_dir: Optional[str] = None
 
     # ------------------------------------------------------------------ util
     def _next_key(self):
@@ -275,7 +277,13 @@ class NiceSLAM:
             for s in extra:
                 if s not in slots and len(slots) < wsize - 1:
                     slots.append(s)
-        F = wsize  # static window size (slots padded below)
+        # Static compile signatures: the init call (no keyframes yet) uses a
+        # 1-frame window; later calls use the full window size with empty
+        # slots padded + masked. The per-frame pixel budget matches the
+        # reference (total pixels / valid frames, src/Mapper.cpp:376) — each
+        # distinct valid count retraces once, and valid counts only grow with
+        # keyframe admissions, so compiles are bounded by the window size.
+        F = 1 if not slots else wsize
         n_valid = len(slots) + 1
 
         colors = np.zeros((F, self.intr.H, self.intr.W, 3), np.float32)
@@ -407,6 +415,18 @@ class NiceSLAM:
         self.track(frame)
         if first or (idx % self.cfg.mapping.every_frame == 0) or idx == self.n_imgs - 1:
             self.map_frame(frame, first=first)
+        if (
+            self.vis_dir
+            and idx % max(self.cfg.mapping.vis_freq, 1) == 0
+            and not (idx == 0 and self.cfg.tracking.no_vis_on_first_frame)
+        ):
+            from ..utils.visualizer import save_frame_vis
+
+            save_frame_vis(
+                self.vis_dir, idx, self.state.decoders, self.state.grids,
+                self.bounds, self.scene_bound, self.intr, self.est_c2w[-1],
+                frame.color, frame.depth, self.rcfg,
+            )
         self.log.frame_done()
         self.log.log(
             {

@@ -52,11 +52,20 @@ class TrackConfig(NamedTuple):
 def _make_optimizer(cfg: TrackConfig) -> optax.GradientTransformation:
     if not cfg.separate_LR:
         return optax.adam(cfg.lr)
-    # quaternion (first 4) at 0.2*lr, translation (last 3) at lr.
-    labels = jnp.array([0, 0, 0, 0, 1, 1, 1])
-    return optax.multi_transform(
-        {0: optax.adam(cfg.lr * 0.2), 1: optax.adam(cfg.lr)},
-        lambda _: labels,
+    # quaternion (first 4) at 0.2*lr, translation (last 3) at lr — upstream's
+    # two Adam param groups. Per-element Adam state is independent, so two
+    # groups with different lrs over disjoint slices of the 7-vector are
+    # exactly one scale_by_adam followed by an elementwise lr vector (a
+    # label-based optax.multi_transform cannot split within one array).
+    lr_vec = jnp.array([0.2] * 4 + [1.0] * 3) * cfg.lr
+
+    def scale(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(lambda u: -lr_vec * u, updates), state
+
+    return optax.chain(
+        optax.scale_by_adam(),
+        optax.GradientTransformation(lambda p: optax.EmptyState(), scale),
     )
 
 

@@ -1,0 +1,104 @@
+"""CLI entry point: run the TPU-native SLAM engine on a configured dataset.
+
+The reference's main() hard-codes absolute config paths and cannot run at
+its current commit (reference: src/main.cpp:5-99; SURVEY.md §2.9.1). This
+driver is config-file based with dotted-path overrides:
+
+    python run_slam.py configs/cofusion.yaml
+    python run_slam.py configs/replica_room0.yaml --frames 500 \
+        --set tracking.iters=20 --set mapping.pixels=2000 \
+        --mesh out/mesh.ply --ckpt-dir out/ckpts
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def parse_overrides(items):
+    out = {}
+    for it in items or []:
+        k, v = it.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        out[k] = v
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config", help="dataset config yaml (configs/*.yaml)")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--set", action="append", dest="overrides", metavar="K=V")
+    ap.add_argument("--log", default=None, help="JSONL metrics path")
+    ap.add_argument("--mesh", default=None, help="write final mesh here (.ply)")
+    ap.add_argument("--mesh-resolution", type=int, default=128)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--vis-dir", default=None, help="periodic render panels")
+    ap.add_argument("--trajectory", default=None, help="save est poses (.npy)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from niceslam_tpu.config.schema import load_config
+    from niceslam_tpu.slam.system import NiceSLAM
+
+    cfg = load_config(args.config, overrides=parse_overrides(args.overrides))
+    log_path = args.log or os.path.join(cfg.output or "output", "metrics.jsonl")
+    slam = NiceSLAM(cfg, log_path=log_path)
+    slam.vis_dir = args.vis_dir
+
+    n = args.frames if args.frames is not None else len(slam.reader)
+    slam.n_imgs = n
+    ckpt_every = cfg.mapping.ckpt_freq
+    for i in range(n):
+        slam.step(slam.reader[i])
+        if args.ckpt_dir and i > 0 and i % ckpt_every == 0:
+            from niceslam_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                os.path.join(args.ckpt_dir, f"frame_{i:06d}"),
+                slam.state, slam.est_c2w, slam.gt_c2w, i,
+            )
+    res = slam.result()
+
+    if args.trajectory:
+        os.makedirs(os.path.dirname(args.trajectory) or ".", exist_ok=True)
+        np.save(args.trajectory, np.asarray(res["est_c2w"]))
+    if args.mesh:
+        from niceslam_tpu.eval.mesher import extract_mesh, write_ply
+
+        os.makedirs(os.path.dirname(args.mesh) or ".", exist_ok=True)
+        verts, faces, colors = extract_mesh(
+            slam.state.decoders,
+            slam.state.grids,
+            slam.bounds,
+            slam.scene_bound,
+            resolution=args.mesh_resolution,
+        )
+        write_ply(args.mesh, verts, faces, colors)
+        print(f"mesh: {len(verts)} verts, {len(faces)} faces -> {args.mesh}")
+
+    ate = res.get("ate_rmse")
+    print(
+        json.dumps(
+            {
+                "frames": n,
+                "fps_avg": round(slam.log.fps, 3),
+                "ate_rmse_cm": None if ate is None else round(ate * 100, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

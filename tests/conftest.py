@@ -15,7 +15,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 # CPU compiles of the mapper/tracker programs take minutes; the persistent
 # cache makes test re-runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-niceslam")
+import os as _os
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jaxcache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,65 @@
+"""Shared tiny-world fixtures for integration tests (small CPU workloads)."""
+import numpy as np
+import pytest
+
+from niceslam_tpu.config.schema import (
+    CamConfig,
+    GridLenConfig,
+    MappingConfig,
+    RenderingConfig,
+    SLAMConfig,
+    TrackingConfig,
+)
+from niceslam_tpu.io.datasets.synthetic import SyntheticBoxReader
+from niceslam_tpu.slam.system import NiceSLAM
+
+
+def tiny_config(**tracking_kw):
+    return SLAMConfig(
+        dataset="synthetic",
+        bound=((-2.2, 2.2), (-2.2, 2.2), (-2.2, 2.2)),
+        cam=CamConfig(H=48, W=64, fx=40.0, fy=40.0, cx=32.0, cy=24.0),
+        grid_len=GridLenConfig(
+            coarse=1.5, middle=0.5, fine=0.25, color=0.25, bound_divisable=0.25
+        ),
+        tracking=TrackingConfig(
+            pixels=200,
+            iters=15,
+            lr=1e-3,
+            ignore_edge_H=4,
+            ignore_edge_W=4,
+            **tracking_kw,
+        ),
+        mapping=MappingConfig(
+            pixels=500,
+            iters_first=300,
+            iters=60,
+            every_frame=1,
+            keyframe_every=2,
+            mapping_window_size=4,
+            max_keyframes=16,
+            color_refine=False,
+            BA=False,
+        ),
+        rendering=RenderingConfig(N_samples=32, N_surface=16),
+        coarse=False,
+        verbose=False,
+    )
+
+
+@pytest.fixture(scope="session")
+def gt_mapped_world():
+    """A map built over 5 frames with ground-truth poses (session-cached).
+
+    Wide-sweep trajectory: with ground-truth poses there is no per-frame
+    motion budget, and the diverse ray directions constrain depth along rays
+    (a near-static camera leaves the radiance field depth-ambiguous).
+    """
+    cfg = tiny_config(gt_camera=True)
+    reader = SyntheticBoxReader(
+        cfg, n_frames=5,
+        trajectory_kwargs=dict(radius=0.5, arc_fraction=0.8, height_amp=0.2),
+    )
+    slam = NiceSLAM(cfg, reader=reader)
+    slam.run(5)
+    return cfg, reader, slam
