@@ -69,19 +69,23 @@ def main():
     reader = SyntheticBoxReader(cfg, n_frames=n_frames)
     slam = NiceSLAM(cfg, reader=reader)
 
+    from niceslam_tpu.io.prefetch import Prefetcher
+
+    pf = iter(Prefetcher(reader, device=jax.devices()[0], end=n_frames))
+
     # Warmup: frame 0 (map init) + first mapping event compile all programs.
     t0 = time.perf_counter()
     warm = 6
     for i in range(warm):
         tf = time.perf_counter()
-        slam.step(reader[i])
+        slam.step(next(pf))
         log(f"warmup frame {i}: {time.perf_counter() - tf:.1f}s")
     t_warm = time.perf_counter() - t0
     log(f"warmup {warm} frames (incl. compiles): {t_warm:.1f}s")
 
     t0 = time.perf_counter()
-    for i in range(warm, n_frames):
-        slam.step(reader[i])
+    for frame in pf:
+        slam.step(frame)
     dt = time.perf_counter() - t0
     fps = (n_frames - warm) / dt
     res = slam.result()

@@ -1,0 +1,119 @@
+"""Z-block feature-grid sharding with one-voxel halo exchange.
+
+The map-volume scaling axis of the system (SURVEY.md §5 "Long-context" /
+§7.2 step 6; no counterpart exists in the single-GPU reference — SURVEY.md
+§2.2): each ``[Z, Y, X, C]`` feature grid is split into contiguous Z blocks,
+one per device along a ``map`` mesh axis, so the map no longer has to fit in
+a single chip's HBM.
+
+Trilinear interpolation reads voxel rows ``z0`` and ``z0+1``; a point whose
+``z0`` is a block's last local row therefore needs the *next* block's first
+row. That one-voxel halo is exchanged with a single ``ppermute`` per lookup —
+the ring-shaped primitive of this workload (the analog of ring-attention
+halo exchange; SURVEY.md §5). Each device then samples only the points whose
+``z0`` falls in its block and a ``psum`` over the map axis assembles the
+result. The backward pass is derived automatically: the transpose of
+``ppermute`` is the reverse permute and the transpose of the masked gather
+is a local scatter-add, so grid-block gradients (including the halo row's
+contribution, routed back to its owner) need no hand-written VJP.
+
+All of it is ``shard_map`` + XLA collectives — no hand-rolled comms layer.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.trilinear import trilerp, voxel_coords
+
+
+def pad_z_to(grid: jnp.ndarray, n_shards: int) -> jnp.ndarray:
+    """Zero-pad Z so it divides ``n_shards`` (padding is never sampled:
+    voxel coords clamp to the logical ``Z-1``)."""
+    z = grid.shape[0]
+    zp = -(-z // n_shards) * n_shards
+    if zp == z:
+        return grid
+    pad = [(0, zp - z)] + [(0, 0)] * (grid.ndim - 1)
+    return jnp.pad(grid, pad)
+
+
+def shard_grid(grid: jnp.ndarray, mesh: Mesh, map_axis: str = "map"):
+    """Place a (Z-padded) grid with its Z axis sharded over ``map_axis``."""
+    spec = P(map_axis, *([None] * (grid.ndim - 1)))
+    return jax.device_put(
+        pad_z_to(grid, mesh.shape[map_axis]), NamedSharding(mesh, spec)
+    )
+
+
+def _local_sample(grid_blk, pts, bound, nz_logical: int, map_axis: str):
+    """Per-device body: halo exchange + masked local trilerp + psum."""
+    n = jax.lax.axis_size(map_axis)
+    me = jax.lax.axis_index(map_axis)
+    zb = grid_blk.shape[0]
+    lo = me * zb
+
+    # Halo: receive the NEXT block's first z-row (send mine to the previous
+    # device). The wrap-around row device n-1 receives from device 0 is
+    # never read: z1 clamps to nz_logical - 1.
+    halo = jax.lax.ppermute(
+        grid_blk[:1],
+        map_axis,
+        [(i, (i - 1) % n) for i in range(n)],
+    )
+    g = jnp.concatenate([grid_blk, halo], axis=0)  # [zb+1, Y, X, C]
+
+    vz, vy, vx = voxel_coords(pts, bound, (nz_logical,) + grid_blk.shape[1:3])
+    z0 = jnp.clip(jnp.floor(vz).astype(jnp.int32), 0, nz_logical - 1)
+    mine = (z0 >= lo) & (z0 < lo + zb)
+    # Local z coordinate; clamp the non-mine points into range (their
+    # contribution is masked to zero, the clamp only keeps indices legal).
+    vz_loc = jnp.clip(vz - lo, 0.0, zb)
+    out = trilerp(g, vz_loc, vy, vx, nz=zb + 1)
+    out = out * mine[..., None].astype(out.dtype)
+    return jax.lax.psum(out, map_axis)
+
+
+def sample_grid_sharded(
+    grid: jnp.ndarray,
+    pts: jnp.ndarray,
+    bound: jnp.ndarray,
+    mesh: Mesh,
+    nz_logical: Optional[int] = None,
+    map_axis: str = "map",
+    ray_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Sample a Z-sharded ``grid [Zpad, Y, X, C]`` at world points ``[N, 3]``.
+
+    ``nz_logical`` is the unpadded Z extent (defaults to ``grid.shape[0]``,
+    correct when no padding was needed). When ``ray_axis`` is given, the
+    point batch is additionally sharded over that mesh axis (map-block x
+    ray-batch 2-D parallelism); otherwise points are replicated over the
+    mesh. Matches ``ops.trilinear.sample_grid`` on the unsharded grid
+    bit-for-bit up to float summation order.
+    """
+    nz = grid.shape[0] if nz_logical is None else nz_logical
+    grid_spec = P(map_axis, None, None, None)
+    pts_spec = P(ray_axis, None) if ray_axis else P(None, None)
+    body = shard_map(
+        partial(_local_sample, nz_logical=nz, map_axis=map_axis),
+        mesh=mesh,
+        in_specs=(grid_spec, pts_spec, P(None, None)),
+        out_specs=pts_spec,
+    )
+    return body(grid, pts, bound)
+
+
+def shard_hierarchy(
+    grids: Dict[str, jnp.ndarray], mesh: Mesh, map_axis: str = "map"
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, int]]:
+    """Z-shard every level of the grid hierarchy; returns (grids, logical Zs)."""
+    nz = {lvl: int(g.shape[0]) for lvl, g in grids.items()}
+    out = {lvl: shard_grid(g, mesh, map_axis) for lvl, g in grids.items()}
+    return out, nz

@@ -34,29 +34,33 @@ def normalize_coords(pts: jnp.ndarray, bound: jnp.ndarray) -> jnp.ndarray:
     return (pts - lo) / (hi - lo) * 2.0 - 1.0
 
 
-def sample_grid(
-    grid: jnp.ndarray, pts: jnp.ndarray, bound: jnp.ndarray
-) -> jnp.ndarray:
-    """Trilinearly sample ``grid [Z, Y, X, C]`` at world points ``pts [N, 3]``.
+def voxel_coords(pts: jnp.ndarray, bound: jnp.ndarray, shape3) -> tuple:
+    """World points -> clipped float voxel coordinates ``(vz, vy, vx)``.
 
-    Returns ``[N, C]``. Border padding: out-of-bound points clamp to the edge
-    voxel (matching padding_mode='border'); the renderer masks them anyway
-    via the occupancy override (src/Renderer.cpp:36).
+    align_corners=True mapping: -1 -> 0, +1 -> dim-1, then clamped to the
+    border (padding_mode='border').
     """
-    nz, ny, nx, C = grid.shape
+    nz, ny, nx = shape3
     n = normalize_coords(pts, bound)  # [...,3] in [-1,1], xyz order
-
-    # align_corners=True: -1 -> 0, +1 -> dim-1.
     vx = jnp.clip((n[..., 0] + 1.0) * 0.5 * (nx - 1), 0.0, nx - 1)
     vy = jnp.clip((n[..., 1] + 1.0) * 0.5 * (ny - 1), 0.0, ny - 1)
     vz = jnp.clip((n[..., 2] + 1.0) * 0.5 * (nz - 1), 0.0, nz - 1)
+    return vz, vy, vx
 
-    x0 = jnp.floor(vx).astype(jnp.int32)
-    y0 = jnp.floor(vy).astype(jnp.int32)
-    z0 = jnp.floor(vz).astype(jnp.int32)
-    x0 = jnp.clip(x0, 0, nx - 1)
-    y0 = jnp.clip(y0, 0, ny - 1)
-    z0 = jnp.clip(z0, 0, nz - 1)
+
+def trilerp(grid: jnp.ndarray, vz, vy, vx, nz=None) -> jnp.ndarray:
+    """Trilinear lerp of ``grid [Z, Y, X, C]`` at float voxel coords.
+
+    ``nz`` bounds the +1 z-neighbor (defaults to the grid's own Z; the
+    sharded sampler passes the *logical* Z so halo rows are addressable but
+    never over-read).
+    """
+    gz, ny, nx, C = grid.shape
+    nz = gz if nz is None else nz
+
+    x0 = jnp.clip(jnp.floor(vx).astype(jnp.int32), 0, nx - 1)
+    y0 = jnp.clip(jnp.floor(vy).astype(jnp.int32), 0, ny - 1)
+    z0 = jnp.clip(jnp.floor(vz).astype(jnp.int32), 0, nz - 1)
     x1 = jnp.minimum(x0 + 1, nx - 1)
     y1 = jnp.minimum(y0 + 1, ny - 1)
     z1 = jnp.minimum(z0 + 1, nz - 1)
@@ -86,3 +90,16 @@ def sample_grid(
     c0 = c00 * (1 - wy) + c01 * wy
     c1 = c10 * (1 - wy) + c11 * wy
     return c0 * (1 - wz) + c1 * wz
+
+
+def sample_grid(
+    grid: jnp.ndarray, pts: jnp.ndarray, bound: jnp.ndarray
+) -> jnp.ndarray:
+    """Trilinearly sample ``grid [Z, Y, X, C]`` at world points ``pts [N, 3]``.
+
+    Returns ``[N, C]``. Border padding: out-of-bound points clamp to the edge
+    voxel (matching padding_mode='border'); the renderer masks them anyway
+    via the occupancy override (src/Renderer.cpp:36).
+    """
+    vz, vy, vx = voxel_coords(pts, bound, grid.shape[:3])
+    return trilerp(grid, vz, vy, vx)

@@ -44,6 +44,17 @@ def make_slam_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     )
 
 
+def make_map_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the map-block (grid Z-shard) axis (grid/shard.py)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), ("map",))
+
+
 def active_mesh() -> Optional[Mesh]:
     return _ACTIVE
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import optax
 
 from ..core.pose import camera_from_tensor, tensor_from_camera, to_homogeneous
-from ..core.rays import Intrinsics, sample_rays
+from ..core.rays import Intrinsics, RayBatch, pixel_dirs
 from ..render.renderer import RenderConfig, render_rays
 from ..config.schema import StageLR
 
@@ -134,13 +134,20 @@ def mapping_loss(
     stage: str,
     cfg: MapOptConfig,
     rcfg: RenderConfig,
-    pixels_per_frame: int,
+    n_pixels: int,
 ):
     """One joint-iteration loss over the keyframe window.
 
     Sum of per-ray depth L1 over gt>0 pixels (+ w_color * color L1 in the
     color stage), src/Mapper.cpp:435-446 / upstream. Rays originate from the
     *current* camera tensors so BA gradients flow into poses.
+
+    The reference splits the pixel budget as pixels/len(valid frames) per
+    frame (src/Mapper.cpp:376), which would retrace this program for every
+    distinct valid count. Instead each of the ``n_pixels`` rays draws its
+    source frame uniformly from the valid window slots (same budget and the
+    same per-frame expectation) — ONE compiled program serves every window
+    occupancy.
     """
     grids, decoders, cams = (
         all_params["grids"],
@@ -153,21 +160,20 @@ def mapping_loss(
     )
     c2ws = to_homogeneous(camera_from_tensor(cams))  # [F, 4, 4]
 
-    def sample_one(i, c2w, depth, color):
-        return sample_rays(
-            jax.random.fold_in(key, i), intr, c2w, depth, color,
-            pixels_per_frame,
-        )
-
-    batch = jax.vmap(sample_one)(
-        jnp.arange(colors.shape[0]), c2ws, depths, colors
+    kf_key, kj, ki = jax.random.split(key, 3)
+    logits = jnp.where(frame_valid, 0.0, -jnp.inf)
+    fidx = jax.random.categorical(kf_key, logits, shape=(n_pixels,))
+    j = jax.random.randint(kj, (n_pixels,), 0, intr.H)
+    i = jax.random.randint(ki, (n_pixels,), 0, intr.W)
+    dirs = pixel_dirs(intr, i.astype(jnp.float32), j.astype(jnp.float32))
+    R = c2ws[fidx, :3, :3]  # [N, 3, 3]
+    flat = RayBatch(
+        rays_o=c2ws[fidx, :3, 3],
+        rays_d=jnp.einsum("nij,nj->ni", R, dirs),
+        gt_depth=depths[fidx, j, i],
+        gt_color=colors[fidx, j, i],
     )
-    flat = jax.tree_util.tree_map(
-        lambda x: x.reshape((-1,) + x.shape[2:]), batch
-    )
-    ray_w = jnp.repeat(
-        frame_valid.astype(jnp.float32), pixels_per_frame
-    )  # invalid frames contribute zero
+    ray_w = frame_valid[fidx].astype(jnp.float32)
     # Multi-chip: partition the ray batch across the mesh (no-op when no
     # mesh is active). XLA then psums the replicated-param grads (parallel/).
     from ..parallel.mesh import shard_rays
@@ -191,7 +197,7 @@ def mapping_loss(
 
 @partial(
     jax.jit,
-    static_argnames=("intr", "plan", "cfg", "rcfg", "pixels_per_frame"),
+    static_argnames=("intr", "plan", "cfg", "rcfg", "n_pixels"),
 )
 def optimize_window(
     grids,
@@ -209,7 +215,7 @@ def optimize_window(
     plan: StagePlan,
     cfg: MapOptConfig,
     rcfg: RenderConfig,
-    pixels_per_frame: int,
+    n_pixels: int,
 ):
     """Run the full staged mapping optimization; one XLA program per stage.
 
@@ -239,7 +245,7 @@ def optimize_window(
         loss_grad = jax.value_and_grad(
             lambda p, k: mapping_loss(
                 p, bounds, scene_bound, intr, colors, depths, frame_valid,
-                cam_fixed, k, stage, cfg, rcfg, pixels_per_frame,
+                cam_fixed, k, stage, cfg, rcfg, n_pixels,
             )
         )
 

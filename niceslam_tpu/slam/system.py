@@ -279,38 +279,32 @@ class NiceSLAM:
                     slots.append(s)
         # Static compile signatures: the init call (no keyframes yet) uses a
         # 1-frame window; later calls use the full window size with empty
-        # slots padded + masked. The per-frame pixel budget matches the
-        # reference (total pixels / valid frames, src/Mapper.cpp:376) — each
-        # distinct valid count retraces once, and valid counts only grow with
-        # keyframe admissions, so compiles are bounded by the window size.
+        # slots padded + masked. The mapper assigns rays to valid window
+        # frames on-device (mapper.mapping_loss), so one compiled program
+        # serves every window occupancy. Window assembly is all device-side
+        # gathers from the keyframe DB — the images never round-trip to host.
         F = 1 if not slots else wsize
-        n_valid = len(slots) + 1
+        wcur = len(slots)  # current frame occupies the slot after the KFs
 
-        colors = np.zeros((F, self.intr.H, self.intr.W, 3), np.float32)
-        depths = np.zeros((F, self.intr.H, self.intr.W), np.float32)
-        cams = np.zeros((F, 7), np.float32)
-        cams[:, 0] = 1.0  # identity quaternion for padded slots
+        sel = np.zeros((F,), np.int32)
+        sel[:wcur] = slots
+        sel_j = jnp.asarray(sel)
+        cur_color = jnp.asarray(frame.color)
+        cur_depth = jnp.asarray(frame.depth)
+        cur_pose = jnp.asarray(cur_c2w)
+        colors = db.colors[sel_j].at[wcur].set(cur_color)
+        depths = db.depths[sel_j].at[wcur].set(cur_depth)
+        poses44 = db.est_c2w[sel_j].at[wcur].set(cur_pose)
+        cams = jax.vmap(tensor_from_camera)(poses44)
+
         valid = np.zeros((F,), bool)
+        valid[: wcur + 1] = True
         fixed = np.ones((F,), bool)
-
-        db_colors = np.asarray(db.colors)
-        db_depths = np.asarray(db.depths)
-        db_poses = np.asarray(db.est_c2w)
         frame_indices = np.asarray(db.frame_idx)
         oldest = None
         for w, s in enumerate(slots):
-            colors[w] = db_colors[s]
-            depths[w] = db_depths[s]
-            cams[w] = np.asarray(tensor_from_camera(jnp.asarray(db_poses[s])))
-            valid[w] = True
             if oldest is None or frame_indices[s] < frame_indices[slots[oldest]]:
                 oldest = w
-        # current frame in the last used slot
-        wcur = len(slots)
-        colors[wcur] = frame.color
-        depths[wcur] = frame.depth
-        cams[wcur] = np.asarray(tensor_from_camera(jnp.asarray(cur_c2w)))
-        valid[wcur] = True
 
         ba = (
             m.BA
@@ -340,15 +334,11 @@ class NiceSLAM:
             m.stage_lr,
             coarse=coarse,
         )
-        poses44 = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
-        for w, s in enumerate(slots):
-            poses44[w] = db_poses[s]
-        poses44[wcur] = cur_c2w
         if mcfg.frustum_feature_selection:
             masks = kf_mod.frustum_masks_for_levels(
-                jnp.asarray(poses44),
+                poses44,
                 jnp.asarray(valid),
-                jnp.asarray(depths),
+                depths,
                 self.intr,
                 self.bounds,
                 self.state.grids,
@@ -359,24 +349,23 @@ class NiceSLAM:
                 for lvl, g in self.state.grids.items()
             }
 
-        ppf = max(m.pixels // n_valid, 1)
         grids, decoders, new_cams, losses = self.optimize_window_fn(
             self.state.grids,
             self.state.decoders,
-            jnp.asarray(cams),
+            cams,
             masks,
             self.bounds,
             self.scene_bound,
             self.intr,
-            jnp.asarray(colors),
-            jnp.asarray(depths),
+            colors,
+            depths,
             jnp.asarray(valid),
             jnp.asarray(fixed),
             self._next_key(),
             plan,
             mcfg,
             self.rcfg,
-            ppf,
+            m.pixels,
         )
         self.state = self.state._replace(grids=grids, decoders=decoders)
         self.log.log(
@@ -412,6 +401,14 @@ class NiceSLAM:
         idx = len(self.est_c2w)
         t0 = time.perf_counter()
         first = idx == 0
+        # One H2D transfer per frame: track and map share the device copy
+        # (jnp.asarray is a no-op if the prefetcher already device_put it).
+        frame = Frame(
+            idx=frame.idx,
+            color=jnp.asarray(frame.color),
+            depth=jnp.asarray(frame.depth),
+            gt_c2w=frame.gt_c2w,
+        )
         self.track(frame)
         if first or (idx % self.cfg.mapping.every_frame == 0) or idx == self.n_imgs - 1:
             self.map_frame(frame, first=first)
@@ -441,8 +438,14 @@ class NiceSLAM:
     def run(self, n_frames: Optional[int] = None):
         n = len(self.reader) if n_frames is None else min(n_frames, len(self.reader))
         self.n_imgs = n
-        for i in range(n):
-            self.step(self.reader[i])
+        from ..io.prefetch import Prefetcher
+
+        pf = Prefetcher(self.reader, device=jax.devices()[0], end=n)
+        try:
+            for frame in pf:
+                self.step(frame)
+        finally:
+            pf.close()
         return self.result()
 
     def result(self):

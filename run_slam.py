@@ -60,8 +60,11 @@ def main():
     n = args.frames if args.frames is not None else len(slam.reader)
     slam.n_imgs = n
     ckpt_every = cfg.mapping.ckpt_freq
-    for i in range(n):
-        slam.step(slam.reader[i])
+    from niceslam_tpu.io.prefetch import Prefetcher
+
+    pf = Prefetcher(slam.reader, device=jax.devices()[0], end=n)
+    for i, frame in enumerate(pf):
+        slam.step(frame)
         if args.ckpt_dir and i > 0 and i % ckpt_every == 0:
             from niceslam_tpu.utils.checkpoint import save_checkpoint
 

@@ -34,7 +34,7 @@ def _setup():
     args = (
         grids, params, cams, masks, bounds, jnp.asarray(bound_adj), intr,
         colors, depths, valid, fixed, jax.random.PRNGKey(2), plan, mcfg,
-        rcfg, 16,
+        rcfg, 32,
     )
     return args
 
