@@ -64,6 +64,11 @@ def main():
         ),
         coarse=True,
         verbose=False,
+        # Upstream NICE-SLAM runs tracker+mapper as concurrent processes on
+        # one GPU; "async" is that semantics on JAX async dispatch (the host
+        # never blocks inside the frame loop; publish guards are deferred
+        # one event with rollback).
+        sync_method="async",
     )
     n_frames = 36
     reader = SyntheticBoxReader(cfg, n_frames=n_frames)

@@ -15,12 +15,14 @@ Grid layout here is channel-last ``[Z, Y, X, C]``: the 8 corner fetches per
 point become one XLA gather of ``[N*8]`` rows from a ``[Z*Y*X, C]`` view, with
 C (=32) contiguous in lanes. The lerp is a weighted reduction over the corner
 axis. Backprop through ``take`` yields the scatter-add VJP into the grid that
-mapping needs — XLA compiles both sides natively; a fused Pallas variant with
-double-buffered HBM->VMEM corner DMA lives in ops/trilinear_pallas.py for the
-hot path.
+mapping needs — XLA compiles both sides natively. Measured on-chip (48k
+points, C=32): 1.6 ms forward / 3.7-4.8 ms fwd+bwd per level; the
+block-gather reformulation (trilerp_block) measured 50x WORSE and is kept
+only as a documented negative result.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -90,6 +92,40 @@ def trilerp(grid: jnp.ndarray, vz, vy, vx, nz=None) -> jnp.ndarray:
     c0 = c00 * (1 - wy) + c01 * wy
     c1 = c10 * (1 - wy) + c11 * wy
     return c0 * (1 - wz) + c1 * wz
+
+
+def trilerp_block(grid: jnp.ndarray, vz, vy, vx) -> jnp.ndarray:
+    """Trilinear lerp via ONE block-gather of ``[2, 2, 2, C]`` neighborhoods.
+
+    Semantically equal to :func:`trilerp` (one vmapped dynamic_slice -> one
+    XLA gather with slice_sizes (2,2,2,C) instead of 8 row-gathers). KEPT AS
+    A MEASURED NEGATIVE RESULT, not used: on TPU the multi-dim-slice gather
+    lowers ~50x slower than 8 independent row-gathers (87 ms vs 1.6 ms fwd
+    at 48k points on v5e-class hardware) — XLA serializes the (2,2,2,C)
+    slice walk. Row-gather (:func:`trilerp`) is the production path.
+
+    Border handling: the block start clamps to ``dim-2``; the fractional
+    weight is taken against the clamped start so edge voxels still resolve
+    exactly (a coordinate at the far border yields weight 1 on the last
+    voxel).
+    """
+    nz, ny, nx, C = grid.shape
+    z0 = jnp.clip(jnp.floor(vz).astype(jnp.int32), 0, nz - 2)
+    y0 = jnp.clip(jnp.floor(vy).astype(jnp.int32), 0, ny - 2)
+    x0 = jnp.clip(jnp.floor(vx).astype(jnp.int32), 0, nx - 2)
+    wz = (vz - z0.astype(vz.dtype))[..., None]
+    wy = (vy - y0.astype(vy.dtype))[..., None]
+    wx = (vx - x0.astype(vx.dtype))[..., None]
+
+    def blk(z, y, x):
+        return jax.lax.dynamic_slice(grid, (z, y, x, 0), (2, 2, 2, C))
+
+    b = jax.vmap(blk)(z0.ravel(), y0.ravel(), x0.ravel())
+    b = b.reshape(vz.shape + (2, 2, 2, C))  # [..., 2z, 2y, 2x, C]
+
+    cz = b[..., 0, :, :, :] * (1 - wz[..., None, None]) + b[..., 1, :, :, :] * wz[..., None, None]
+    cy = cz[..., 0, :, :] * (1 - wy[..., None]) + cz[..., 1, :, :] * wy[..., None]
+    return cy[..., 0, :] * (1 - wx) + cy[..., 1, :] * wx
 
 
 def sample_grid(

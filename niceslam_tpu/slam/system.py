@@ -116,6 +116,25 @@ class NiceSLAM:
         self.optimize_window_fn = optimize_window
         # optional visual dumps (utils/visualizer.py) every mapping.vis_freq
         self.vis_dir: Optional[str] = None
+        # test-only fault injection (SURVEY.md §5 "fault injection as a
+        # test-only hook"): called with (frame_idx, mapper outputs), may
+        # corrupt/delay them; the publish guard below must contain the fault.
+        self.fault_hook = None
+        # sync_method (config/nice_slam.yaml:2): "strict" blocks the host on
+        # every mapping event (lockstep publish + NaN guard); "async" is the
+        # upstream two-process semantics rebuilt on JAX's async dispatch —
+        # the host never waits on device results in the frame loop, the NaN
+        # guard is verified one event later (with state rollback), and loss
+        # curves materialize at flush()/result().
+        self.sync_method = cfg.sync_method
+        self._pending_verify = None  # (idx, coarse, stages, losses, prev)
+        self._track_loss_dev: List = []  # deferred device loss curves
+        # Host mirrors of keyframe-DB bookkeeping so the async frame loop
+        # never forces a device sync for control flow.
+        self._kf_count = 0
+        self._kf_slot_frame = np.full(
+            (cfg.mapping.max_keyframes,), -1, np.int64
+        )
 
     # ------------------------------------------------------------------ util
     def _next_key(self):
@@ -135,15 +154,15 @@ class NiceSLAM:
             c2w = np.asarray(gt, np.float32)
             losses = []
         else:
+            # Warm start stays on device: no host sync before the track
+            # dispatch (the motion-model extrapolation is a tiny async op).
+            prev = jnp.asarray(self.est_c2w[-1])
             if cfgt.const_speed_assumption and idx >= 2:
-                init = np.asarray(
-                    constant_speed_warm_start(
-                        jnp.asarray(self.est_c2w[-1]),
-                        jnp.asarray(self.est_c2w[-2]),
-                    )
+                init = constant_speed_warm_start(
+                    prev, jnp.asarray(self.est_c2w[-2])
                 )
             else:
-                init = self.est_c2w[-1]
+                init = prev
             snap = self._published()
             c2w_j, loss_curve = track_frame(
                 snap.decoders,
@@ -153,14 +172,26 @@ class NiceSLAM:
                 self.intr,
                 jnp.asarray(frame.color),
                 jnp.asarray(frame.depth),
-                jnp.asarray(init),
+                init,
                 self._next_key(),
                 self.tcfg,
                 self.rcfg,
             )
-            c2w = np.asarray(c2w_j)
-            losses = [float(x) for x in np.asarray(loss_curve)]
-        self.est_c2w.append(c2w.astype(np.float32))
+            if self.sync_method == "async":
+                # Free-running: the pose stays a device array (a future);
+                # every consumer (warm start, window assembly, keyframes) is
+                # a device op, so the host never blocks here.
+                self.est_c2w.append(c2w_j)
+                self.gt_c2w.append(
+                    None if frame.gt_c2w is None else np.asarray(frame.gt_c2w)
+                )
+                self._track_loss_dev.append(loss_curve)
+                return c2w_j
+            # One host round trip for both results.
+            c2w, loss_np = jax.device_get((c2w_j, loss_curve))
+            c2w = np.asarray(c2w)
+            losses = [float(x) for x in loss_np]
+        self.est_c2w.append(np.asarray(c2w, np.float32))
         self.gt_c2w.append(
             None if frame.gt_c2w is None else np.asarray(frame.gt_c2w)
         )
@@ -176,7 +207,7 @@ class NiceSLAM:
         + the most recent keyframe + the current frame.
         """
         db = self.state.keyframes
-        count = int(db.count)
+        count = self._kf_count  # host mirror: no device sync for control flow
         wsize = self.cfg.mapping.mapping_window_size
         n_sel = wsize - 2
         slots: List[int] = []
@@ -225,6 +256,13 @@ class NiceSLAM:
             plans = [("normal", m.iters, m.lr_factor, 1)]
 
         mode, iters, lr_factor, outer = plans[0]
+        # Async mode: settle the previous event's deferred NaN guard before
+        # this event builds on the published state, then snapshot the
+        # pre-event map so the WHOLE event (coarse + staged passes) can be
+        # rolled back as a unit if any pass diverges.
+        self._verify_pending()
+        self._event_prev = (self.state.grids, self.state.decoders)
+        self._event_passes = []
         if self.cfg.coarse and not first:
             self._run_mapper(
                 frame, cur_c2w, iters, lr_factor, coarse=True, refine=False
@@ -238,7 +276,14 @@ class NiceSLAM:
                 coarse=False,
                 refine=(mode == "refine"),
             )
-        self.est_c2w[-1] = np.asarray(cur_c2w, np.float32)
+        self.est_c2w[-1] = (
+            cur_c2w
+            if self.sync_method == "async"
+            else np.asarray(cur_c2w, np.float32)
+        )
+        if self.sync_method == "async" and self._event_passes:
+            self._pending_verify = (self._event_prev, self._event_passes)
+            self._event_passes = []
 
         # Keyframe admission (src/Mapper.cpp:537-550 / upstream).
         if (idx % m.keyframe_every == 0 or idx == self.n_imgs - 2) and not self._is_keyframe(idx):
@@ -253,11 +298,13 @@ class NiceSLAM:
                     idx,
                 )
             )
+            slot = self._kf_count % self.state.keyframes.capacity
+            self._kf_slot_frame[slot] = idx
+            self._kf_count += 1
         self.state = self.state._replace(version=self.state.version + 1)
 
     def _is_keyframe(self, idx: int) -> bool:
-        db = self.state.keyframes
-        return bool(np.any(np.asarray(db.frame_idx) == idx))
+        return bool(np.any(self._kf_slot_frame == idx))
 
     def _run_mapper(
         self, frame: Frame, cur_c2w, iters, lr_factor, coarse: bool, refine: bool
@@ -269,7 +316,7 @@ class NiceSLAM:
         if refine:
             wsize *= 2
             # refine mode widens the window with more keyframes
-            count = int(db.count)
+            count = self._kf_count
             extra = [
                 s % db.capacity
                 for s in range(max(0, count - db.capacity), count)
@@ -300,7 +347,7 @@ class NiceSLAM:
         valid = np.zeros((F,), bool)
         valid[: wcur + 1] = True
         fixed = np.ones((F,), bool)
-        frame_indices = np.asarray(db.frame_idx)
+        frame_indices = self._kf_slot_frame
         oldest = None
         for w, s in enumerate(slots):
             if oldest is None or frame_indices[s] < frame_indices[slots[oldest]]:
@@ -308,7 +355,7 @@ class NiceSLAM:
 
         ba = (
             m.BA
-            and int(db.count) > 4
+            and self._kf_count > 4
             and not coarse
             and not refine
         )
@@ -367,23 +414,51 @@ class NiceSLAM:
             self.rcfg,
             m.pixels,
         )
-        self.state = self.state._replace(grids=grids, decoders=decoders)
-        self.log.log(
-            {
-                "event": "map",
-                "frame": idx,
-                "coarse": coarse,
-                "stages": [p[0] for p in plan],
-                "loss_first": float(np.asarray(losses)[0]),
-                "loss_last": float(np.asarray(losses)[-1]),
-            }
-        )
+        if self.fault_hook is not None:
+            grids, decoders, new_cams, losses = self.fault_hook(
+                idx, (grids, decoders, new_cams, losses)
+            )
+        # Failure detection (SURVEY.md §5): a diverged/corrupted mapping step
+        # (NaN/inf loss — e.g. a faulted host in a psum ring) must not
+        # survive in the published map. strict: checked (blocking) before
+        # publish. async: published optimistically, checked at the next
+        # event / flush with rollback to the pre-event snapshot.
+        if self.sync_method == "async":
+            self.state = self.state._replace(grids=grids, decoders=decoders)
+            self._event_passes.append(
+                (idx, coarse, [p[0] for p in plan], losses)
+            )
+        else:
+            losses_np = np.asarray(losses)
+            if not np.isfinite(losses_np[-1]):
+                self.log.log(
+                    {
+                        "event": "map_rejected",
+                        "frame": idx,
+                        "coarse": coarse,
+                        "loss_last": float(losses_np[-1]),
+                    }
+                )
+                return np.asarray(cur_c2w)
+            self.state = self.state._replace(grids=grids, decoders=decoders)
+            self.log.log(
+                {
+                    "event": "map",
+                    "frame": idx,
+                    "coarse": coarse,
+                    "stages": [p[0] for p in plan],
+                    "loss_first": float(losses_np[0]),
+                    "loss_last": float(losses_np[-1]),
+                }
+            )
 
         from ..core.pose import camera_from_tensor, to_homogeneous
 
         if ba:
             # write optimized keyframe poses back (src/Mapper.cpp:467-489)
-            new_poses = np.asarray(to_homogeneous(camera_from_tensor(new_cams)))
+            new_poses = to_homogeneous(camera_from_tensor(new_cams))
+            if self.sync_method != "async":
+                new_poses = np.asarray(new_poses)
             kf_poses = self.state.keyframes.est_c2w
             for w, s in enumerate(slots):
                 if not fixed[w]:
@@ -393,7 +468,52 @@ class NiceSLAM:
             )
             if not fixed[wcur]:
                 return new_poses[wcur]
+        if self.sync_method == "async":
+            return cur_c2w
         return np.asarray(cur_c2w)
+
+    def _verify_pending(self):
+        """Resolve the deferred NaN guard of the last async mapping event.
+
+        The whole event (coarse + staged passes) rolls back to its pre-event
+        snapshot if ANY pass diverged — passes within one event build on
+        each other, so partial acceptance would keep poisoned state.
+        """
+        if self._pending_verify is None:
+            return
+        prev, passes = self._pending_verify
+        self._pending_verify = None
+        tails = [np.asarray(losses)[-1] for _, _, _, losses in passes]
+        if not all(np.isfinite(t) for t in tails):
+            self.state = self.state._replace(grids=prev[0], decoders=prev[1])
+            self.log.log(
+                {
+                    "event": "map_rejected",
+                    "frame": passes[0][0],
+                    "loss_last": [float(t) for t in tails],
+                }
+            )
+            return
+        for (idx, coarse, stages, losses), tail in zip(passes, tails):
+            self.log.log(
+                {
+                    "event": "map",
+                    "frame": idx,
+                    "coarse": coarse,
+                    "stages": stages,
+                    "loss_first": float(np.asarray(losses)[0]),
+                    "loss_last": float(tail),
+                }
+            )
+
+    def flush(self):
+        """Settle all deferred async results (pending guard, loss curves)."""
+        self._verify_pending()
+        if self._track_loss_dev:
+            for curve in self._track_loss_dev:
+                self.track_losses.append(float(np.asarray(curve)[-1]))
+            self._track_loss_dev = []
+        self.est_c2w = [np.asarray(p, np.float32) for p in self.est_c2w]
 
     # ------------------------------------------------------------------ run
     def step(self, frame: Frame):
@@ -431,7 +551,12 @@ class NiceSLAM:
                 "frame": idx,
                 "dt": round(time.perf_counter() - t0, 4),
                 "fps_avg": round(self.log.fps, 3),
-                "track_loss": self.track_losses[-1] if idx > 0 and self.track_losses else None,
+                "track_loss": (
+                    self.track_losses[-1]
+                    if idx > 0 and self.track_losses
+                    and self.sync_method != "async"
+                    else None
+                ),
             }
         )
 
@@ -448,7 +573,23 @@ class NiceSLAM:
             pf.close()
         return self.result()
 
+    def restore(self, ckpt_path: str) -> int:
+        """Resume from an orbax checkpoint; returns the next frame index.
+
+        The recovery path for host/process failure (SURVEY.md §5 "Failure
+        detection"): reload {map, keyframes, trajectory} and continue the
+        frame loop from where the snapshot was taken.
+        """
+        from ..utils.checkpoint import load_checkpoint
+
+        payload = load_checkpoint(ckpt_path)
+        self.state = payload["state"]
+        self.est_c2w = [np.asarray(p, np.float32) for p in payload["est_c2w"]]
+        self.gt_c2w = payload["gt_c2w"]
+        return payload["frame_idx"] + 1
+
     def result(self):
+        self.flush()
         out = {"est_c2w": self.est_c2w, "gt_c2w": self.gt_c2w}
         gts = [g for g in self.gt_c2w if g is not None]
         if len(gts) == len(self.est_c2w) and len(gts) > 1:

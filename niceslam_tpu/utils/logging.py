@@ -24,10 +24,12 @@ class MetricsLogger:
             self._fh = open(path, "a")
         self._t0 = time.perf_counter()
         self._frames = 0
+        self.records: list = []  # in-memory mirror (tests, result())
 
     def log(self, record: Dict[str, Any]):
         record = dict(record)
         record["t_wall"] = round(time.perf_counter() - self._t0, 4)
+        self.records.append(record)
         if self._fh:
             self._fh.write(json.dumps(record) + "\n")
             self._fh.flush()

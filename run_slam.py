@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--vis-dir", default=None, help="periodic render panels")
     ap.add_argument("--trajectory", default=None, help="save est poses (.npy)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--resume", default=None, metavar="CKPT",
+        help="resume from an orbax checkpoint directory (failure recovery)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -59,14 +63,17 @@ def main():
 
     n = args.frames if args.frames is not None else len(slam.reader)
     slam.n_imgs = n
+    start = slam.restore(args.resume) if args.resume else 0
     ckpt_every = cfg.mapping.ckpt_freq
     from niceslam_tpu.io.prefetch import Prefetcher
 
-    pf = Prefetcher(slam.reader, device=jax.devices()[0], end=n)
-    for i, frame in enumerate(pf):
+    pf = Prefetcher(slam.reader, device=jax.devices()[0], start=start, end=n)
+    for i, frame in enumerate(pf, start=start):
         slam.step(frame)
         if args.ckpt_dir and i > 0 and i % ckpt_every == 0:
             from niceslam_tpu.utils.checkpoint import save_checkpoint
+
+            slam.flush()  # settle async guards; never persist a faulty map
 
             save_checkpoint(
                 os.path.join(args.ckpt_dir, f"frame_{i:06d}"),

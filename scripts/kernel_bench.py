@@ -7,11 +7,14 @@ BASELINE.md "speed-of-light Pallas" row) in isolation:
   replacement, reference src/models/MLP.cpp:51-63),
 - the tiny-MLP decoder chain (MLP.cpp:76-102),
 - alpha compositing (utils.h:148-172),
-- the full render_rays forward and its VJP at mapping batch shapes,
-- one full tracking step program and one mapping-stage iteration.
+- the full render_rays forward and its grid-VJP at mapping batch shapes.
 
-Prints a JSON object per op: {name, n, mean_ms, p50_ms, achieved GB/s or
-GFLOP/s where meaningful}. Run on the real chip: `python scripts/kernel_bench.py`.
+Dispatch to the accelerator has a large fixed latency on remote/tunneled
+setups (~26 ms measured on axon), so each op is repeated K times INSIDE one
+compiled program (lax.scan with an input perturbation that defeats CSE) and
+the per-iteration time is reported. Prints one JSON object per op.
+
+Run on the real chip: `python scripts/kernel_bench.py`.
 """
 from __future__ import annotations
 
@@ -25,21 +28,36 @@ import numpy as np
 
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
+K = 32  # in-program repetitions
 
-def timeit(fn, *args, warmup=3, iters=20):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+
+def timeit_scanned(fn, *args, iters=8):
+    """fn(i, *args) -> scalar; scanned K times inside one jit."""
+
+    @jax.jit
+    def repeated(*args):
+        def body(c, i):
+            return c + fn(i, *args), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))
+        return out
+
+    jax.block_until_ready(repeated(*args))  # compile + warm
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    ts = np.asarray(ts)
-    return float(ts.mean() * 1e3), float(np.percentile(ts, 50) * 1e3)
+        jax.block_until_ready(repeated(*args))
+        ts.append((time.perf_counter() - t0) / K)
+    return float(np.mean(ts) * 1e3), float(np.percentile(ts, 50) * 1e3)
 
 
 def report(name, n, mean_ms, p50_ms, extra=None):
-    rec = {"op": name, "n": n, "mean_ms": round(mean_ms, 4), "p50_ms": round(p50_ms, 4)}
+    rec = {
+        "op": name,
+        "n": n,
+        "mean_ms": round(mean_ms, 4),
+        "p50_ms": round(p50_ms, 4),
+    }
     if extra:
         rec.update(extra)
     print(json.dumps(rec), flush=True)
@@ -73,25 +91,32 @@ def main():
 
     for lvl in ("middle", "fine", "color"):
         g, b = grids[lvl], bounds[lvl]
-        f = jax.jit(lambda g, p: sample_grid(g, p, b))
-        m, p50 = timeit(f, g, pts)
+
+        def fwd(i, g, pts, lvl=lvl, b=b):
+            return sample_grid(g, pts + i * 1e-6, b).sum()
+
+        m, p50 = timeit_scanned(fwd, g, pts)
         bytes_moved = N * 8 * g.shape[-1] * 4  # 8 corner rows of C floats
         report(f"trilinear_fwd_{lvl}", N, m, p50,
                {"gather_GBps": round(bytes_moved / (p50 * 1e6), 2)})
 
-        vjp = jax.jit(
-            lambda g, p: jax.grad(lambda gg: sample_grid(gg, p, b).sum())(g)
-        )
-        m, p50 = timeit(vjp, g, pts)
+        def fwdbwd(i, g, pts, lvl=lvl, b=b):
+            gr = jax.grad(lambda gg: sample_grid(gg, pts + i * 1e-6, b).sum())(g)
+            return gr.sum()
+
+        m, p50 = timeit_scanned(fwdbwd, g, pts)
         report(f"trilinear_fwdbwd_{lvl}", N, m, p50,
                {"scatter_GBps": round(2 * bytes_moved / (p50 * 1e6), 2)})
 
     # ---- decoder forward at each stage ----
     for stage in ("middle", "fine", "color"):
-        f = jax.jit(
-            lambda params, grids, pts: nice_forward(params, grids, pts, bounds, stage)
-        )
-        m, p50 = timeit(f, params, grids, pts)
+
+        def f(i, params, grids, pts, stage=stage):
+            return nice_forward(
+                params, grids, pts + i * 1e-6, bounds, stage
+            ).sum()
+
+        m, p50 = timeit_scanned(f, params, grids, pts)
         report(f"nice_forward_{stage}", N, m, p50)
 
     # ---- compositing ----
@@ -99,8 +124,12 @@ def main():
     raw = jax.random.normal(key, (n_rays, S, 4))
     z = jnp.sort(jax.random.uniform(key, (n_rays, S)), axis=-1)
     rd = jax.random.normal(key, (n_rays, 3))
-    f = jax.jit(lambda raw, z, rd: raw_to_outputs(raw, z, rd, occupancy=True))
-    m, p50 = timeit(f, raw, z, rd)
+
+    def comp(i, raw, z, rd):
+        out = raw_to_outputs(raw + i * 1e-6, z, rd, occupancy=True)
+        return out.depth.sum() + out.rgb.sum()
+
+    m, p50 = timeit_scanned(comp, raw, z, rd)
     report("compositing", n_rays * S, m, p50)
 
     # ---- full render: tracking shape (200x48) and mapping shape (1000x48) ----
@@ -111,22 +140,25 @@ def main():
         ro = jnp.zeros((n_rays, 3))
         gtd = jnp.full((n_rays,), 1.5)
 
-        f = jax.jit(
-            lambda params, grids, ro, rd, gtd: render_rays(
-                params, grids, bounds, scene_bound, ro, rd, gtd, "color", rcfg
+        def rf(i, params, grids, ro, rd, gtd):
+            return render_rays(
+                params, grids, bounds, scene_bound,
+                ro, rd + i * 1e-7, gtd, "color", rcfg,
             ).depth.sum()
-        )
-        m, p50 = timeit(f, params, grids, ro, rd, gtd)
+
+        m, p50 = timeit_scanned(rf, params, grids, ro, rd, gtd)
         report(f"render_fwd_{tag}", n_rays * 48, m, p50)
 
-        g = jax.jit(
-            lambda params, grids, ro, rd, gtd: jax.grad(
+        def rb(i, params, grids, ro, rd, gtd):
+            gr = jax.grad(
                 lambda gg: render_rays(
-                    params, gg, bounds, scene_bound, ro, rd, gtd, "color", rcfg
+                    params, gg, bounds, scene_bound,
+                    ro, rd + i * 1e-7, gtd, "color", rcfg,
                 ).depth.sum()
-            )(grids)["fine"].sum()
-        )
-        m, p50 = timeit(g, params, grids, ro, rd, gtd)
+            )(grids)
+            return sum(x.sum() for x in gr.values())
+
+        m, p50 = timeit_scanned(rb, params, grids, ro, rd, gtd)
         report(f"render_fwdbwd_{tag}", n_rays * 48, m, p50)
 
 
