@@ -125,6 +125,17 @@ class GridLenConfig:
 
 
 @dataclass(frozen=True)
+class ParallelConfig:
+    """Multi-host / multi-chip runtime (new design; the reference is pinned
+    to one CUDA device, SURVEY.md §2.2). Consumed by parallel/runtime.py."""
+
+    n_processes: int = 1  # hosts; >1 triggers jax.distributed.initialize
+    coordinator: str = "localhost:9991"  # process-0 coordinator address
+    kf: int = 0  # ray-DP mesh axis extent; 0 = all devices not used by `map`
+    map: int = 1  # grid-Z-shard mesh axis extent
+
+
+@dataclass(frozen=True)
 class SLAMConfig:
     """Top-level system config (mirrors config/nice_slam.yaml)."""
 
@@ -149,6 +160,7 @@ class SLAMConfig:
     tracking: TrackingConfig = TrackingConfig()
     mapping: MappingConfig = MappingConfig()
     rendering: RenderingConfig = RenderingConfig()
+    parallel: ParallelConfig = ParallelConfig()
     pretrained_coarse: str = ""
     pretrained_middle_fine: str = ""
 
@@ -160,6 +172,7 @@ _NESTED = {
     "tracking": TrackingConfig,
     "mapping": MappingConfig,
     "rendering": RenderingConfig,
+    "parallel": ParallelConfig,
 }
 
 _KEY_ALIASES = {

@@ -49,6 +49,10 @@ class Prefetcher:
                         gt_c2w=frame.gt_c2w,
                     )
                 self.q.put(frame)
+        except BaseException as e:  # noqa: BLE001 — re-raised in __iter__
+            # A decode/IO failure must abort the run, not silently truncate
+            # it as an apparent end-of-stream (ADVICE r1 low #2).
+            self.q.put(e)
         finally:
             self.q.put(None)
 
@@ -57,6 +61,10 @@ class Prefetcher:
             frame = self.q.get()
             if frame is None:
                 return
+            if isinstance(frame, BaseException):
+                raise RuntimeError(
+                    "prefetch worker failed while decoding a frame"
+                ) from frame
             yield frame
 
     def close(self):

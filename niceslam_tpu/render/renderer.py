@@ -129,8 +129,18 @@ def render_image(
     """
     ro, rd = rays_mod.rays_for_image(intr, c2w)
     H, W = intr.H, intr.W
-    assert H % rows_per_chunk == 0, "H must divide into row chunks"
-    n_chunks = H // rows_per_chunk
+    # Pad H up to a multiple of rows_per_chunk (crop-edged heights are not
+    # generally divisible); padded rows render garbage that is cropped off.
+    pad = (-H) % rows_per_chunk
+    Hp = H + pad
+    if pad:
+        ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (pad, W, 3))], 0)
+        rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (pad, W, 3))], 0)
+        if gt_depth is not None:
+            gt_depth = jnp.concatenate(
+                [gt_depth, jnp.broadcast_to(gt_depth[-1:], (pad, W))], 0
+            )
+    n_chunks = Hp // rows_per_chunk
     ro = ro.reshape(n_chunks, rows_per_chunk * W, 3)
     rd = rd.reshape(n_chunks, rows_per_chunk * W, 3)
     gd = (
@@ -152,8 +162,8 @@ def render_image(
     else:
         out = jax.lax.map(chunk, (ro, rd, gd))
     return compositing.RenderOutputs(
-        rgb=out.rgb.reshape(H, W, 3),
-        depth=out.depth.reshape(H, W),
-        depth_var=out.depth_var.reshape(H, W),
-        weights=out.weights.reshape(H, W, -1),
+        rgb=out.rgb.reshape(Hp, W, 3)[:H],
+        depth=out.depth.reshape(Hp, W)[:H],
+        depth_var=out.depth_var.reshape(Hp, W)[:H],
+        weights=out.weights.reshape(Hp, W, -1)[:H],
     )

@@ -52,6 +52,13 @@ class MapOptConfig(NamedTuple):
     fix_color: bool = False
     frustum_feature_selection: bool = True
     lr_factor: float = 1.0
+    # No pretrained checkpoints configured -> the decoders must themselves
+    # train (upstream ships pretrained ConvONet decoders and freezes
+    # middle/fine — config/nice_slam.yaml:13-15,51; without them a frozen
+    # random decoder caps map quality). Stages whose decoders_lr is 0 in the
+    # upstream LR table fall back to `decoders_lr_fallback`.
+    train_all_decoders: bool = False
+    decoders_lr_fallback: float = 0.005
 
 
 # A stage plan entry: (stage_name, n_iters, StageLR). Tuples of these are
@@ -98,6 +105,16 @@ def _grid_lr(level: str, lrs: StageLR) -> float:
 
 
 def _decoder_lr(level: str, lrs: StageLR, cfg: MapOptConfig) -> float:
+    if cfg.train_all_decoders:
+        # Unpretrained run: every decoder trains in the stages that use it
+        # (decoders a stage's forward does not touch get zero grads anyway).
+        if level == "color" and cfg.fix_color:
+            return 0.0
+        return (
+            lrs.decoders_lr
+            if lrs.decoders_lr > 0
+            else cfg.decoders_lr_fallback
+        )
     if level == "fine" and not cfg.fix_fine:
         return lrs.decoders_lr
     if level == "color" and not cfg.fix_color:

@@ -44,6 +44,15 @@ def main():
         "--resume", default=None, metavar="CKPT",
         help="resume from an orbax checkpoint directory (failure recovery)",
     )
+    ap.add_argument(
+        "--profile-dir", default=None,
+        help="capture a jax.profiler trace of the whole run to this dir",
+    )
+    ap.add_argument(
+        "--no-precompile", action="store_true",
+        help="skip the startup signature warmup (compiles then happen "
+        "lazily at first encounter, stalling mid-run)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -64,22 +73,30 @@ def main():
     n = args.frames if args.frames is not None else len(slam.reader)
     slam.n_imgs = n
     start = slam.restore(args.resume) if args.resume else 0
+    if not args.no_precompile:
+        slam.precompile_async()
     ckpt_every = cfg.mapping.ckpt_freq
+    from contextlib import nullcontext
+
     from niceslam_tpu.io.prefetch import Prefetcher
+    from niceslam_tpu.utils.profiling import trace
 
     pf = Prefetcher(slam.reader, device=jax.devices()[0], start=start, end=n)
-    for i, frame in enumerate(pf, start=start):
-        slam.step(frame)
-        if args.ckpt_dir and i > 0 and i % ckpt_every == 0:
-            from niceslam_tpu.utils.checkpoint import save_checkpoint
+    with trace(args.profile_dir) if args.profile_dir else nullcontext():
+        for i, frame in enumerate(pf, start=start):
+            slam.step(frame)
+            if args.ckpt_dir and i > 0 and i % ckpt_every == 0:
+                from niceslam_tpu.utils.checkpoint import save_checkpoint
 
-            slam.flush()  # settle async guards; never persist a faulty map
+                slam.flush()  # settle async guards; never persist a faulty map
 
-            save_checkpoint(
-                os.path.join(args.ckpt_dir, f"frame_{i:06d}"),
-                slam.state, slam.est_c2w, slam.gt_c2w, i,
-            )
-    res = slam.result()
+                save_checkpoint(
+                    os.path.join(args.ckpt_dir, f"frame_{i:06d}"),
+                    slam.state, slam.est_c2w, slam.gt_c2w, i,
+                )
+        res = slam.result()
+    if cfg.verbose:
+        print(f"[niceslam] timer: {json.dumps(slam.timer.summary())}")
 
     if args.trajectory:
         os.makedirs(os.path.dirname(args.trajectory) or ".", exist_ok=True)
