@@ -106,6 +106,45 @@ def main():
         f"ATE RMSE = {None if ate is None else round(ate * 100, 3)} cm"
     )
 
+    # Whole-step roofline (BASELINE.md "speed-of-light, measured" row):
+    # analytic FLOPs/bytes of the steady-state per-frame work -> achieved
+    # fraction of the chip's bandwidth/compute peaks. The workload is
+    # bandwidth-bound (tiny MLPs; gather/scatter trilinear traffic), so
+    # hbm_util is the meaningful utilization; mfu is reported for context.
+    from niceslam_tpu.utils import roofline
+
+    peaks = roofline.device_peaks()
+    gb = {lvl: g.size * 4 for lvl, g in slam.state.grids.items()}
+    m_ = cfg.mapping
+    t_ = cfg.tracking
+    track_cost = roofline.render_cost(
+        t_.pixels, 48, cfg.model.c_dim, gb, "color", backward=True
+    )
+    map_cost = roofline.mapping_step_cost(m_.pixels, 48, cfg.model.c_dim, gb)
+    # per every_frame-frame group: every frame tracks (iters), one frame maps
+    # (coarse pass + staged pass, iters each)
+    per_group_flops = (
+        m_.every_frame * t_.iters * track_cost["flops"]
+        + 2 * m_.iters * map_cost["flops"]
+    )
+    per_group_bytes = (
+        m_.every_frame * t_.iters * track_cost["bytes"]
+        + 2 * m_.iters * map_cost["bytes"]
+    )
+    per_frame_s = dt / (n_frames - warm)
+    group_s = per_frame_s * m_.every_frame
+    hbm_util = per_group_bytes / (peaks.hbm_gbps * 1e9) / group_s
+    mfu = per_group_flops / peaks.flops_f32 / group_s
+    sol_group_s = max(
+        per_group_bytes / (peaks.hbm_gbps * 1e9),
+        per_group_flops / peaks.flops_f32,
+    )
+    sol_fps = m_.every_frame / sol_group_s
+    log(
+        f"roofline({peaks.name}): hbm_util={hbm_util:.3f} mfu={mfu:.4f} "
+        f"speed-of-light fps={sol_fps:.1f}"
+    )
+
     print(
         json.dumps(
             {
@@ -114,6 +153,10 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 1.0, 4),
                 "ate_rmse_cm": None if ate is None else round(ate * 100, 4),
+                "hbm_util": round(hbm_util, 4),
+                "mfu": round(mfu, 5),
+                "sol_fps": round(sol_fps, 2),
+                "chip": peaks.name,
             }
         )
     )

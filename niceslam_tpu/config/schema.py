@@ -84,6 +84,17 @@ class MappingConfig:
     iters_first: int = 1500
     iters: int = 60
     max_keyframes: int = 128  # static ring-buffer capacity (new; TPU shapes)
+    # When no pretrained decoders are configured: 'never' keeps the random
+    # decoders frozen (grids invert them — surprisingly strong and keeps the
+    # occupancy scale sane), 'init' trains every decoder during the
+    # first-frame init pass only (a per-scene decoder fit), 'always' keeps
+    # them training in every mapping event (can blow up the occupancy
+    # logit scale — bench r2 probes). With pretrained checkpoints this knob
+    # is ignored (upstream fix_fine semantics apply).
+    decoder_train: str = "never"
+    # LR used for decoder training in stages whose upstream LR-table entry
+    # is 0 (only relevant when decoder_train != 'never').
+    decoders_lr: float = 0.005
     stage_coarse: StageLR = StageLR(coarse_lr=0.001)
     stage_middle: StageLR = StageLR(middle_lr=0.1)
     stage_fine: StageLR = StageLR(middle_lr=0.005, fine_lr=0.005)

@@ -68,10 +68,56 @@ def _apply_level(params_level, sd: Dict[str, np.ndarray], prefix: str):
     return out
 
 
+# ------------------------------------------------------- native .npz format
+def save_decoders_npz(path: str, params) -> None:
+    """Save a decoder pytree as flat npz (the framework's own pretrain
+    format — scripts/pretrain_decoders.py; torch-free)."""
+    import jax
+
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in kp
+        )
+        flat[key] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_decoders_npz(path: str, params):
+    """Overlay a flat-npz decoder checkpoint onto ``params`` (strict keys)."""
+    import jax
+    import jax.numpy as jnp
+
+    blob = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for kp, leaf in leaves:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in kp
+        )
+        if key not in blob:
+            raise KeyError(f"pretrained npz missing decoder leaf {key!r}")
+        arr = blob[key]
+        if arr.shape != leaf.shape:
+            raise ValueError(
+                f"decoder leaf {key!r}: checkpoint {arr.shape} vs model "
+                f"{leaf.shape}"
+            )
+        out.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def load_pretrained_decoders(
     params, coarse_path: str = "", middle_fine_path: str = ""
 ):
-    """Overlay upstream checkpoints onto ``params`` (missing keys keep init)."""
+    """Overlay upstream checkpoints onto ``params`` (missing keys keep init).
+
+    ``.npz`` paths use the framework's native pretrain format (full decoder
+    pytree, scripts/pretrain_decoders.py); ``.pt`` paths import upstream
+    torch state dicts.
+    """
+    if middle_fine_path and middle_fine_path.endswith(".npz"):
+        return load_decoders_npz(middle_fine_path, params)
     if coarse_path:
         sd = load_state_dict(coarse_path)
         params = dict(params)

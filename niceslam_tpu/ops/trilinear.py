@@ -22,8 +22,29 @@ only as a documented negative result.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
+
+# Trace-time sampler override: the Z-sharded mapping program
+# (parallel/sharded_mapper.py) swaps in a halo-exchange sampler for the
+# duration of its shard_map body trace, so the decoder stack
+# (models/decoders.py _feat) needs no distributed-awareness of its own.
+_SAMPLER_OVERRIDE = None
+
+
+@contextmanager
+def override_sampler(fn):
+    """Install ``fn(grid, pts, bound) -> [N, C]`` as the grid sampler for
+    code traced inside this context (trace-time dispatch, not runtime)."""
+    global _SAMPLER_OVERRIDE
+    prev = _SAMPLER_OVERRIDE
+    _SAMPLER_OVERRIDE = fn
+    try:
+        yield
+    finally:
+        _SAMPLER_OVERRIDE = prev
 
 
 def normalize_coords(pts: jnp.ndarray, bound: jnp.ndarray) -> jnp.ndarray:
@@ -136,6 +157,11 @@ def sample_grid(
     Returns ``[N, C]``. Border padding: out-of-bound points clamp to the edge
     voxel (matching padding_mode='border'); the renderer masks them anyway
     via the occupancy override (src/Renderer.cpp:36).
+
+    Inside the Z-sharded mapping program (parallel/sharded_mapper.py) an
+    installed override routes this through the halo-exchange sampler.
     """
+    if _SAMPLER_OVERRIDE is not None:
+        return _SAMPLER_OVERRIDE(grid, pts, bound)
     vz, vy, vx = voxel_coords(pts, bound, grid.shape[:3])
     return trilerp(grid, vz, vy, vx)

@@ -38,9 +38,20 @@ def save_checkpoint(path: str, state: MapState, est_c2w, gt_c2w, frame_idx: int)
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Restore a snapshot as HOST arrays (device placement happens lazily).
+
+    Restoring to numpy keeps checkpoints topology-portable: a snapshot
+    written on a TPU host restores on a CPU-only analysis box or a
+    different mesh shape (orbax otherwise demands concrete shardings).
+    """
     path = os.path.abspath(path)
     ckpter = ocp.PyTreeCheckpointer()
-    payload = ckpter.restore(path)
+    meta = ckpter.metadata(path)
+    tree = getattr(meta, "item_metadata", None) or getattr(meta, "tree", meta)
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+    )
+    payload = ckpter.restore(path, restore_args=restore_args)
     kf = payload["keyframes"]
     state = MapState(
         grids=payload["grids"],

@@ -53,6 +53,11 @@ def main():
         help="skip the startup signature warmup (compiles then happen "
         "lazily at first encounter, stalling mid-run)",
     )
+    ap.add_argument(
+        "--process-id", type=int, default=None,
+        help="this host's rank for multi-host runs (parallel.n_processes>1;"
+        " see docs/MULTIHOST.md)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -66,8 +71,14 @@ def main():
     from niceslam_tpu.slam.system import NiceSLAM
 
     cfg = load_config(args.config, overrides=parse_overrides(args.overrides))
+    # Multi-host bootstrap + ('map','kf') mesh BEFORE any device use
+    # (jax.distributed must initialize first) — parallel/runtime.py.
+    from niceslam_tpu.parallel.runtime import setup_runtime
+
+    runtime = setup_runtime(cfg, process_id=args.process_id)
     log_path = args.log or os.path.join(cfg.output or "output", "metrics.jsonl")
     slam = NiceSLAM(cfg, log_path=log_path)
+    runtime.attach(slam)  # no-op on a 1x1 mesh
     slam.vis_dir = args.vis_dir
 
     n = args.frames if args.frames is not None else len(slam.reader)

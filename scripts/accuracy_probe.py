@@ -13,8 +13,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -25,8 +28,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--gt-camera", action="store_true")
-    ap.add_argument("--freeze-decoders", action="store_true",
-                    help="round-1 behavior: frozen random middle/fine")
+    ap.add_argument("--decoder-train", default="init",
+                    choices=["never", "init", "always"],
+                    help="mapping.decoder_train policy (never = round-1 "
+                    "frozen-random behavior)")
     ap.add_argument("--no-coarse", action="store_true")
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--sync", default="async")
@@ -42,7 +47,7 @@ def main():
                     help="render final-frame depth and report L1/PSNR")
     args = ap.parse_args()
 
-    import os
+    # os imported at module top
 
     import jax
 
@@ -80,6 +85,7 @@ def main():
             max_keyframes=64,
             color_refine=False,
             BA=not args.no_ba,
+            decoder_train=args.decoder_train,
         ),
         coarse=not args.no_coarse,
         verbose=False,
@@ -88,8 +94,6 @@ def main():
     n = args.frames
     reader = SyntheticBoxReader(cfg, n_frames=n)
     slam = NiceSLAM(cfg, reader=reader)
-    if args.freeze_decoders:
-        slam.train_all_decoders = False
     slam.precompile_async()
 
     t0 = time.perf_counter()
@@ -111,7 +115,7 @@ def main():
         },
         "variant": {
             "gt_camera": args.gt_camera,
-            "freeze_decoders": args.freeze_decoders,
+            "decoder_train": args.decoder_train,
             "coarse": not args.no_coarse,
             "BA": not args.no_ba,
             "track": [args.track_pixels, args.track_iters, args.track_lr],

@@ -51,13 +51,24 @@ def timeit_scanned(fn, *args, iters=8):
     return float(np.mean(ts) * 1e3), float(np.percentile(ts, 50) * 1e3)
 
 
-def report(name, n, mean_ms, p50_ms, extra=None):
+def report(name, n, mean_ms, p50_ms, extra=None, cost=None, peaks=None):
+    """Per-op record; with an analytic ``cost`` dict, adds the roofline:
+    sol_ms (speed-of-light time on this chip) and frac_sol (achieved
+    fraction of it) — BASELINE.md "speed-of-light, measured" row."""
     rec = {
         "op": name,
         "n": n,
         "mean_ms": round(mean_ms, 4),
         "p50_ms": round(p50_ms, 4),
     }
+    if cost is not None and peaks is not None:
+        from niceslam_tpu.utils.roofline import sol_ms
+
+        sol = sol_ms(cost["flops"], cost["bytes"], peaks)
+        rec["gflops"] = round(cost["flops"] / 1e9, 2)
+        rec["mbytes"] = round(cost["bytes"] / 1e6, 2)
+        rec["sol_ms"] = round(sol, 4)
+        rec["frac_sol"] = round(sol / max(p50_ms, 1e-9), 4)
     if extra:
         rec.update(extra)
     print(json.dumps(rec), flush=True)
@@ -73,8 +84,15 @@ def main():
     )
     from niceslam_tpu.ops.trilinear import sample_grid
     from niceslam_tpu.render.renderer import RenderConfig, render_rays
+    from niceslam_tpu.utils import roofline
 
+    peaks = roofline.device_peaks()
     print(f"# devices: {jax.devices()}", file=sys.stderr)
+    print(
+        f"# roofline peaks: {peaks.name} "
+        f"{peaks.flops_f32/1e12:.0f} f32-TFLOP/s, {peaks.hbm_gbps:.0f} GB/s",
+        file=sys.stderr,
+    )
     key = jax.random.PRNGKey(0)
     bound = np.asarray([[-4.5, 3.82], [-1.5, 2.02], [-3.0, 2.76]], np.float32)
     grids, bounds, bound_adj = init_grids(key, bound, GridConfig())
@@ -98,7 +116,9 @@ def main():
         m, p50 = timeit_scanned(fwd, g, pts)
         bytes_moved = N * 8 * g.shape[-1] * 4  # 8 corner rows of C floats
         report(f"trilinear_fwd_{lvl}", N, m, p50,
-               {"gather_GBps": round(bytes_moved / (p50 * 1e6), 2)})
+               {"gather_GBps": round(bytes_moved / (p50 * 1e6), 2)},
+               cost=roofline.trilinear_cost(N, g.shape[-1], g.size * 4),
+               peaks=peaks)
 
         def fwdbwd(i, g, pts, lvl=lvl, b=b):
             gr = jax.grad(lambda gg: sample_grid(gg, pts + i * 1e-6, b).sum())(g)
@@ -106,7 +126,10 @@ def main():
 
         m, p50 = timeit_scanned(fwdbwd, g, pts)
         report(f"trilinear_fwdbwd_{lvl}", N, m, p50,
-               {"scatter_GBps": round(2 * bytes_moved / (p50 * 1e6), 2)})
+               {"scatter_GBps": round(2 * bytes_moved / (p50 * 1e6), 2)},
+               cost=roofline.trilinear_cost(N, g.shape[-1], g.size * 4,
+                                            backward=True),
+               peaks=peaks)
 
     # ---- decoder forward at each stage ----
     for stage in ("middle", "fine", "color"):
@@ -117,7 +140,9 @@ def main():
             ).sum()
 
         m, p50 = timeit_scanned(f, params, grids, pts)
-        report(f"nice_forward_{stage}", N, m, p50)
+        gb = {lvl: g.size * 4 for lvl, g in grids.items()}
+        report(f"nice_forward_{stage}", N, m, p50,
+               cost=roofline.render_cost(N, 1, 32, gb, stage), peaks=peaks)
 
     # ---- compositing ----
     n_rays, S = 1000, 48
@@ -130,7 +155,8 @@ def main():
         return out.depth.sum() + out.rgb.sum()
 
     m, p50 = timeit_scanned(comp, raw, z, rd)
-    report("compositing", n_rays * S, m, p50)
+    report("compositing", n_rays * S, m, p50,
+           cost=roofline.compositing_cost(n_rays, S), peaks=peaks)
 
     # ---- full render: tracking shape (200x48) and mapping shape (1000x48) ----
     rcfg = RenderConfig()
@@ -147,7 +173,9 @@ def main():
             ).depth.sum()
 
         m, p50 = timeit_scanned(rf, params, grids, ro, rd, gtd)
-        report(f"render_fwd_{tag}", n_rays * 48, m, p50)
+        gb = {lvl: g.size * 4 for lvl, g in grids.items()}
+        report(f"render_fwd_{tag}", n_rays * 48, m, p50,
+               cost=roofline.render_cost(n_rays, 48, 32, gb), peaks=peaks)
 
         def rb(i, params, grids, ro, rd, gtd):
             gr = jax.grad(
@@ -159,7 +187,9 @@ def main():
             return sum(x.sum() for x in gr.values())
 
         m, p50 = timeit_scanned(rb, params, grids, ro, rd, gtd)
-        report(f"render_fwdbwd_{tag}", n_rays * 48, m, p50)
+        report(f"render_fwdbwd_{tag}", n_rays * 48, m, p50,
+               cost=roofline.render_cost(n_rays, 48, 32, gb, backward=True),
+               peaks=peaks)
 
 
 if __name__ == "__main__":
