@@ -144,6 +144,11 @@ class ParallelConfig:
     coordinator: str = "localhost:9991"  # process-0 coordinator address
     kf: int = 0  # ray-DP mesh axis extent; 0 = all devices not used by `map`
     map: int = 1  # grid-Z-shard mesh axis extent
+    # Stage-expert placement (SURVEY.md §2.2 EP/PP rows): run the coarse
+    # mapper pass on a second device, concurrent with the staged pass on
+    # device 0. Exact: the coarse stage touches only the coarse grid /
+    # decoder, disjoint from middle/fine/color. No-op with one device.
+    stage_ep: bool = False
 
 
 @dataclass(frozen=True)

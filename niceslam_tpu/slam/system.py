@@ -313,14 +313,44 @@ class NiceSLAM:
             self.decoder_train == "always"
             or (self.decoder_train == "init" and first)
         )
+        # Stage-expert placement (parallel.stage_ep, SURVEY.md §2.2 EP/PP):
+        # the coarse pass touches ONLY the coarse grid/decoder — disjoint
+        # from the staged pass's middle/fine/color — so on a multi-device
+        # host it runs on device 1 while the staged pass runs on device 0,
+        # both dispatched asynchronously (true role concurrency; exact by
+        # parameter disjointness).
+        ep_dev = None
+        if self.cfg.parallel.stage_ep:
+            devs = jax.devices()
+            if len(devs) > 1:
+                ep_dev = devs[1]
+        self._ep_pending = None
         if self.cfg.coarse and not first:
             self._run_mapper(
-                frame, cur_c2w, m.iters, lr_factor, coarse=True, refine=False
+                frame, cur_c2w, m.iters, lr_factor, coarse=True,
+                refine=False, device=ep_dev,
             )
         cur_c2w = self._run_mapper(
             frame, cur_c2w, iters, lr_factor,
             coarse=False, refine=(mode == "refine"),
         )
+        if self._ep_pending is not None:
+            # stage-EP merge: pull the coarse expert's outputs (device 1)
+            # back next to the staged results (device 0) — an async D2D
+            # copy; nothing on the hot path waited for it.
+            g_c, d_c = self._ep_pending
+            dev0 = jax.devices()[0]
+            self.state = self.state._replace(
+                grids={
+                    **self.state.grids,
+                    "coarse": jax.device_put(g_c, dev0),
+                },
+                decoders={
+                    **self.state.decoders,
+                    "coarse": jax.device_put(d_c, dev0),
+                },
+            )
+            self._ep_pending = None
         self.est_c2w[-1] = (
             cur_c2w
             if self.sync_method == "async"
@@ -381,7 +411,8 @@ class NiceSLAM:
         )
 
     def _run_mapper(
-        self, frame: Frame, cur_c2w, iters, lr_factor, coarse: bool, refine: bool
+        self, frame: Frame, cur_c2w, iters, lr_factor, coarse: bool,
+        refine: bool, device=None,
     ):
         m = self.cfg.mapping
         db = self.state.keyframes
@@ -471,11 +502,20 @@ class NiceSLAM:
         n_total = len(sched)
         ch = min(m.iters, n_total)
         grids, decoders = self.state.grids, self.state.decoders
+        key = self._next_key()
+        if device is not None:
+            # stage-EP: commit this pass's inputs to its expert device; the
+            # jitted program then executes there, concurrent with device 0.
+            grids, decoders, masks, cams, colors, depths, key = (
+                jax.device_put(
+                    (grids, decoders, masks, cams, colors, depths, key),
+                    device,
+                )
+            )
         new_cams = cams
         opt_state = init_opt_state(
             {"grids": grids, "decoders": decoders, "cams": cams}
         )
-        key = self._next_key()
         valid_j, fixed_j = jnp.asarray(valid), jnp.asarray(fixed)
         losses_parts = []
         for s0 in range(0, n_total, ch):
@@ -497,6 +537,29 @@ class NiceSLAM:
             grids, decoders, new_cams, losses = self.fault_hook(
                 idx, (grids, decoders, new_cams, losses)
             )
+        if device is not None and coarse:
+            # stage-EP: publish nothing yet — the staged pass runs from the
+            # pre-coarse state on device 0 (it never reads the coarse level)
+            # while this expert's outputs settle on device 1; map_frame
+            # merges the coarse level back after the staged pass, so the
+            # two passes genuinely overlap.
+            self._ep_pending = (grids["coarse"], decoders["coarse"])
+            if self.sync_method == "async":
+                self._event_passes.append(
+                    (idx, coarse, [p[0] for p in plan], losses)
+                )
+            else:
+                losses_np = np.asarray(losses)
+                if not np.isfinite(losses_np[-1]):
+                    self._ep_pending = None
+                    self.log.log(
+                        {
+                            "event": "map_rejected", "frame": idx,
+                            "coarse": True,
+                            "loss_last": float(losses_np[-1]),
+                        }
+                    )
+            return cur_c2w if self.sync_method == "async" else np.asarray(cur_c2w)
         # Failure detection (SURVEY.md §5): a diverged/corrupted mapping step
         # (NaN/inf loss — e.g. a faulted host in a psum ring) must not
         # survive in the published map. strict: checked (blocking) before

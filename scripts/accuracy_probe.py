@@ -7,7 +7,7 @@ from 11.3 cm (round 1) toward the NICE-SLAM-class <= 3 cm target.
 
     python scripts/accuracy_probe.py --frames 24 --gt-camera      # map-only
     python scripts/accuracy_probe.py --frames 24                  # full SLAM
-    python scripts/accuracy_probe.py --frames 24 --freeze-decoders
+    python scripts/accuracy_probe.py --frames 24 --decoder-train never
 """
 from __future__ import annotations
 
@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--track-iters", type=int, default=10)
     ap.add_argument("--track-pixels", type=int, default=200)
     ap.add_argument("--track-lr", type=float, default=1e-3)
+    ap.add_argument("--track-wcolor", type=float, default=0.5)
+    ap.add_argument("--no-color-track", action="store_true")
+    ap.add_argument("--no-dynamic", action="store_true")
+    ap.add_argument("--separate-lr", action="store_true")
     ap.add_argument("--map-pixels", type=int, default=1000)
     ap.add_argument("--map-iters", type=int, default=60)
     ap.add_argument("--iters-first", type=int, default=1500)
@@ -74,6 +78,10 @@ def main():
         tracking=TrackingConfig(
             pixels=args.track_pixels, iters=args.track_iters,
             lr=args.track_lr, gt_camera=args.gt_camera,
+            w_color_loss=args.track_wcolor,
+            use_color_in_tracking=not args.no_color_track,
+            handle_dynamic=not args.no_dynamic,
+            seperate_LR=args.separate_lr,
         ),
         mapping=MappingConfig(
             pixels=args.map_pixels,
@@ -104,6 +112,11 @@ def main():
     est = np.asarray(res["est_c2w"])
     gt = np.asarray([g for g in res["gt_c2w"]])
     terr = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=-1)
+    # Relative pose error: per-frame drift increment (isolates the tracker
+    # from accumulated error).
+    rel_est = est[1:, :3, 3] - est[:-1, :3, 3]
+    rel_gt = gt[1:, :3, 3] - gt[:-1, :3, 3]
+    rpe = np.linalg.norm(rel_est - rel_gt, axis=-1)
     out = {
         "frames": n,
         "wall_s": round(dt, 1),
@@ -112,6 +125,10 @@ def main():
             "mean": round(100 * float(terr.mean()), 3),
             "max": round(100 * float(terr.max()), 3),
             "last": round(100 * float(terr[-1]), 3),
+        },
+        "rpe_t_cm": {
+            "mean": round(100 * float(rpe.mean()), 3),
+            "p90": round(100 * float(np.percentile(rpe, 90)), 3),
         },
         "variant": {
             "gt_camera": args.gt_camera,
