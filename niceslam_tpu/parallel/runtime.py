@@ -27,6 +27,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -90,15 +91,30 @@ class MapKfRuntime:
             f"mapping.pixels={slam.cfg.mapping.pixels} must divide the kf "
             f"mesh axis ({self.n_kf})"
         )
+        self.reattach_grids(slam)
+        slam.run_schedule_fn = make_sharded_run_schedule(self.mesh)
+        slam._runtime = self  # restore() re-pads/re-shards through this
+
+    def reattach_grids(self, slam) -> None:
+        """(Re-)pad and (re-)place the system's grids on the mesh.
+
+        Called at attach time and again after a checkpoint restore: an
+        unpadded snapshot gets padded here (bounds extended to match); a
+        snapshot already padded for the same map extent passes through
+        pad_grid_for_sharding unchanged and is just re-placed sharded.
+        """
+        if self.trivial:
+            return
         grids = {}
         for lvl, g in slam.state.grids.items():
-            g, b = pad_grid_for_sharding(g, slam.bounds[lvl], self.n_map)
+            g, b = pad_grid_for_sharding(
+                jnp.asarray(g), jnp.asarray(slam.bounds[lvl]), self.n_map
+            )
             slam.bounds[lvl] = b
             grids[lvl] = jax.device_put(
                 g, NamedSharding(self.mesh, P(MAP_AXIS))
             )
         slam.state = slam.state._replace(grids=grids)
-        slam.run_schedule_fn = make_sharded_run_schedule(self.mesh)
 
 
 def setup_runtime(

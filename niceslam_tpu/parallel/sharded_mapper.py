@@ -40,7 +40,8 @@ import optax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.trilinear import override_sampler, trilerp, voxel_coords
+from ..grid.shard import _local_sample
+from ..ops.trilinear import override_sampler
 from ..slam.mapper import (
     ProgConfig,
     Schedule,
@@ -92,30 +93,15 @@ def pad_grid_for_sharding(
 
 
 def _halo_sample_impl(grid_blk, pts, bound, map_axis=MAP_AXIS):
-    """Per-device trilinear sampler: halo exchange + masked lerp + psum.
+    """Per-device trilinear sampler for the shard_map body.
 
-    Same math as grid/shard._local_sample; lives here so the shard_map body
-    can install it as the trace-time sampler override for the whole decoder
-    stack (ops.trilinear.override_sampler).
+    Delegates to THE halo-sampler implementation (grid/shard._local_sample —
+    packed corner-table gather + one-row ppermute halo + psum); the logical
+    Z here is always ``zb * n_map`` because attach() pads every level to
+    divide the map axis (parallel/runtime.pad_grid_for_sharding).
     """
-    n = jax.lax.axis_size(map_axis)
-    me = jax.lax.axis_index(map_axis)
-    zb = grid_blk.shape[0]
-    nz = zb * n  # padded logical Z (blocks are exact by construction)
-    lo = me * zb
-
-    halo = jax.lax.ppermute(
-        grid_blk[:1], map_axis, [(i, (i - 1) % n) for i in range(n)]
-    )
-    g = jnp.concatenate([grid_blk, halo], axis=0)  # [zb+1, Y, X, C]
-
-    vz, vy, vx = voxel_coords(pts, bound, (nz,) + grid_blk.shape[1:3])
-    z0 = jnp.clip(jnp.floor(vz).astype(jnp.int32), 0, nz - 1)
-    mine = (z0 >= lo) & (z0 < lo + zb)
-    vz_loc = jnp.clip(vz - lo, 0.0, zb)
-    out = trilerp(g, vz_loc, vy, vx, nz=zb + 1)
-    out = out * mine[..., None].astype(out.dtype)
-    return jax.lax.psum(out, map_axis)
+    nz = grid_blk.shape[0] * jax.lax.axis_size(map_axis)
+    return _local_sample(grid_blk, pts, bound, nz, map_axis)
 
 
 @jax.custom_vjp
@@ -190,51 +176,61 @@ def _body(
     adam = optax.scale_by_adam()
 
     def step(carry, xs):
-        params, opt_state = carry
-        it, sid, lg, ld, lc = xs
+        it, sid, lg, ld, lc, act = xs
 
-        def branch(stage):
-            return lambda p, k: mapping_loss(
-                p, bounds, scene_bound, intr, colors, depths, frame_valid,
-                cam_fixed, k, stage, pcfg.w_color_loss, rcfg, pcfg.n_pixels,
-                ray_shard=(ray_start, n_local),
+        def run(carry):
+            params, opt_state = carry
+
+            def branch(stage):
+                return lambda p, k: mapping_loss(
+                    p, bounds, scene_bound, intr, colors, depths,
+                    frame_valid, cam_fixed, k, stage, pcfg.w_color_loss,
+                    rcfg, pcfg.n_pixels, ray_shard=(ray_start, n_local),
+                )
+
+            def loss_fn(p, k):
+                return jax.lax.switch(
+                    sid, [branch(s) for s in STAGE_ORDER], p, k
+                )
+
+            loss, g = jax.value_and_grad(loss_fn)(
+                params, jax.random.fold_in(key, it)
             )
-
-        def loss_fn(p, k):
-            return jax.lax.switch(
-                sid, [branch(s) for s in STAGE_ORDER], p, k
-            )
-
-        loss, g = jax.value_and_grad(loss_fn)(
-            params, jax.random.fold_in(key, it)
-        )
-        # Explicit gradient collectives (XLA cannot infer them through
-        # shard_map): the total loss/grads are sums over the kf ray shards.
-        # Grid-block grads stay local over `map` (each device owns its
-        # block; halo contributions already routed home by the ppermute
-        # transpose inside the sampler's VJP).
-        loss = jax.lax.psum(loss, KF_AXIS)
-        g = {
-            "grids": jax.lax.psum(g["grids"], KF_AXIS),
-            "decoders": jax.lax.psum(g["decoders"], KF_AXIS),
-            "cams": jax.lax.psum(g["cams"], KF_AXIS),
-        }
-        if pcfg.frustum:
-            g["grids"] = {
-                lvl: g["grids"][lvl] * masks_blk[lvl] for lvl in g["grids"]
+            # Explicit gradient collectives (XLA cannot infer them through
+            # shard_map): the total loss/grads are sums over the kf ray
+            # shards. Grid-block grads stay local over `map` (each device
+            # owns its block; halo contributions already routed home by the
+            # ppermute transpose inside the sampler's VJP).
+            loss = jax.lax.psum(loss, KF_AXIS)
+            g = {
+                "grids": jax.lax.psum(g["grids"], KF_AXIS),
+                "decoders": jax.lax.psum(g["decoders"], KF_AXIS),
+                "cams": jax.lax.psum(g["cams"], KF_AXIS),
             }
-        updates, opt_state = adam.update(g, opt_state, params)
-        updates = jax.tree_util.tree_map(
-            lambda u, lr: -lr * u,
-            updates,
-            lr_tree_from_rows(params, lg, ld, lc),
-        )
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
+            if pcfg.frustum:
+                g["grids"] = {
+                    lvl: g["grids"][lvl] * masks_blk[lvl]
+                    for lvl in g["grids"]
+                }
+            updates, opt_state = adam.update(g, opt_state, params)
+            updates = jax.tree_util.tree_map(
+                lambda u, lr: -lr * u,
+                updates,
+                lr_tree_from_rows(params, lg, ld, lc),
+            )
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        def skip(carry):
+            # Pad rows: whole step skipped, matching the unsharded program
+            # (mapper._scan_step) exactly — moments untouched, loss 0.
+            return carry, jnp.float32(0.0)
+
+        return jax.lax.cond(act, run, skip, carry)
 
     with override_sampler(_halo_sample):
         xs = (sched.iter_idx, sched.stage_ids, sched.lr_grids,
-              sched.lr_dec, sched.lr_cam)
+              sched.lr_dec, sched.lr_cam, sched.active)
         (params, opt_state), losses = jax.lax.scan(
             step, (params, opt_state), xs
         )

@@ -83,34 +83,6 @@ def keyframe_overlap_percentages(
     return jax.vmap(percent_for)(kf_c2w)
 
 
-def select_keyframes(
-    key,
-    percentages,
-    valid_mask,
-    k: int,
-    exclude_last: bool = True,
-):
-    """Host-side pick: keyframes with overlap > 0, randomly permuted, top-k.
-
-    Matches src/Mapper.cpp:190-196 / upstream (random permutation of
-    positive-overlap keyframes, truncated to k). The most recent keyframe is
-    excluded here because the mapper window adds it unconditionally.
-    Returns a python list of slot indices (static-shape inputs to jit come
-    later, via padding in the mapper).
-    """
-    import numpy as np
-
-    p = np.asarray(percentages)
-    valid = np.asarray(valid_mask).copy()
-    if exclude_last and valid.any():
-        valid[valid.nonzero()[0][-1]] = False
-    cand = np.nonzero((p > 0.0) & valid)[0]
-    if len(cand) == 0:
-        return []
-    perm = np.random.default_rng(int(key[-1]) & 0x7FFFFFFF).permutation(cand)
-    return [int(i) for i in perm[:k]]
-
-
 @partial(
     jax.jit, static_argnames=("intr", "grid_shape_zyx")
 )

@@ -92,6 +92,7 @@ class Schedule(NamedTuple):
     lr_grids: jnp.ndarray  # [n, 4] — per grid level (LEVEL_ORDER)
     lr_dec: jnp.ndarray  # [n, 4] — per decoder level
     lr_cam: jnp.ndarray  # [n] — camera-tensor lr (BA; 0 otherwise)
+    active: jnp.ndarray  # [n] bool — False on pad rows: whole step skipped
 
     def __len__(self):
         return self.stage_ids.shape[0]
@@ -184,12 +185,15 @@ def schedule_arrays(
         lr_grids=jnp.asarray(np.asarray(lg, np.float32)),
         lr_dec=jnp.asarray(np.asarray(ld, np.float32)),
         lr_cam=jnp.asarray(np.asarray(lc, np.float32)),
+        active=jnp.ones((n,), bool),
     )
 
 
 def pad_schedule(sched: Schedule, to: int) -> Schedule:
-    """Pad with no-op rows (all LRs zero). Only valid as the FINAL chunk of
-    a pass: padded rows still advance the Adam moments."""
+    """Pad with inactive rows: the scan step lax.cond-skips them entirely
+    (no loss/grad evaluation, Adam moments untouched), so a padded chunk is
+    safe at ANY position of a pass, not just the final chunk (r2 ADVICE
+    low #4)."""
     n = len(sched)
     if n == to:
         return sched
@@ -202,6 +206,7 @@ def pad_schedule(sched: Schedule, to: int) -> Schedule:
         lr_grids=jnp.concatenate([sched.lr_grids, jnp.zeros((p, 4), jnp.float32)]),
         lr_dec=jnp.concatenate([sched.lr_dec, jnp.zeros((p, 4), jnp.float32)]),
         lr_cam=jnp.concatenate([sched.lr_cam, jnp.zeros((p,), jnp.float32)]),
+        active=jnp.concatenate([sched.active, jnp.zeros((p,), bool)]),
     )
 
 
@@ -312,39 +317,52 @@ def _scan_step(
     pcfg: ProgConfig,
     rcfg: RenderConfig,
 ):
-    """One joint iteration: switch-dispatched stage loss, Adam, traced LRs."""
-    params, opt_state = carry
-    it, sid, lg, ld, lc = xs
+    """One joint iteration: switch-dispatched stage loss, Adam, traced LRs.
 
-    def branch(stage):
-        return lambda p, k: mapping_loss(
-            p, bounds, scene_bound, intr, colors, depths, frame_valid,
-            cam_fixed, k, stage, pcfg.w_color_loss, rcfg, pcfg.n_pixels,
+    Inactive (pad) rows skip the whole step via ``lax.cond`` — no loss/grad
+    evaluation, moments untouched (r2 ADVICE low #4)."""
+    it, sid, lg, ld, lc, act = xs
+
+    def run(carry):
+        params, opt_state = carry
+
+        def branch(stage):
+            return lambda p, k: mapping_loss(
+                p, bounds, scene_bound, intr, colors, depths, frame_valid,
+                cam_fixed, k, stage, pcfg.w_color_loss, rcfg, pcfg.n_pixels,
+            )
+
+        def loss_fn(p, k):
+            return jax.lax.switch(
+                sid, [branch(s) for s in STAGE_ORDER], p, k
+            )
+
+        loss, g = jax.value_and_grad(loss_fn)(
+            params, jax.random.fold_in(key, it)
         )
-
-    def loss_fn(p, k):
-        return jax.lax.switch(
-            sid, [branch(s) for s in STAGE_ORDER], p, k
+        if pcfg.frustum:
+            g = {
+                "grids": {
+                    lvl: g["grids"][lvl] * grid_masks[lvl] for lvl in g["grids"]
+                },
+                "decoders": g["decoders"],
+                "cams": g["cams"],
+            }
+        adam = optax.scale_by_adam()
+        updates, opt_state = adam.update(g, opt_state, params)
+        updates = jax.tree_util.tree_map(
+            lambda u, lr: -lr * u,
+            updates,
+            lr_tree_from_rows(params, lg, ld, lc),
         )
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
 
-    loss, g = jax.value_and_grad(loss_fn)(
-        params, jax.random.fold_in(key, it)
-    )
-    if pcfg.frustum:
-        g = {
-            "grids": {
-                lvl: g["grids"][lvl] * grid_masks[lvl] for lvl in g["grids"]
-            },
-            "decoders": g["decoders"],
-            "cams": g["cams"],
-        }
-    adam = optax.scale_by_adam()
-    updates, opt_state = adam.update(g, opt_state, params)
-    updates = jax.tree_util.tree_map(
-        lambda u, lr: -lr * u, updates, lr_tree_from_rows(params, lg, ld, lc)
-    )
-    params = optax.apply_updates(params, updates)
-    return (params, opt_state), loss
+    def skip(carry):
+        return carry, jnp.float32(0.0)
+
+    carry, loss = jax.lax.cond(act, run, skip, carry)
+    return carry, loss
 
 
 def lr_tree_from_rows(params, lg, ld, lc):
@@ -409,7 +427,7 @@ def run_schedule(
         rcfg=rcfg,
     )
     xs = (sched.iter_idx, sched.stage_ids, sched.lr_grids, sched.lr_dec,
-          sched.lr_cam)
+          sched.lr_cam, sched.active)
     (all_params, opt_state), losses = jax.lax.scan(
         step, (all_params, opt_state), xs
     )

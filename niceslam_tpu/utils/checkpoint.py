@@ -20,7 +20,23 @@ import orbax.checkpoint as ocp
 from ..slam.state import KeyframeDB, MapState
 
 
-def save_checkpoint(path: str, state: MapState, est_c2w, gt_c2w, frame_idx: int):
+def save_checkpoint(
+    path: str,
+    state: MapState,
+    est_c2w,
+    gt_c2w,
+    frame_idx: int,
+    bounds: Optional[Dict[str, Any]] = None,
+    scene_bound=None,
+):
+    """Snapshot the SLAM state.
+
+    ``bounds``/``scene_bound`` persist the per-level sampling bounds — they
+    are NOT derivable from config when the grids were Z-padded for a
+    ('map','kf') mesh (parallel/runtime.attach extends the z bound with the
+    padding), so restoring a padded snapshot without them silently skews
+    every consumer's world->voxel mapping (r2 ADVICE medium).
+    """
     path = os.path.abspath(path)
     ckpter = ocp.PyTreeCheckpointer()
     payload = {
@@ -34,6 +50,10 @@ def save_checkpoint(path: str, state: MapState, est_c2w, gt_c2w, frame_idx: int)
         ),
         "frame_idx": np.asarray(frame_idx),
     }
+    if bounds is not None:
+        payload["bounds"] = {k: np.asarray(v) for k, v in bounds.items()}
+    if scene_bound is not None:
+        payload["scene_bound"] = np.asarray(scene_bound)
     ckpter.save(path, payload, force=True)
 
 
@@ -68,4 +88,8 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         "est_c2w": [np.asarray(p) for p in payload["est_c2w"]],
         "gt_c2w": gt_list,
         "frame_idx": int(payload["frame_idx"]),
+        # absent in pre-r3 snapshots; restore() falls back to config-derived
+        # bounds then (valid only for never-padded grids).
+        "bounds": payload.get("bounds"),
+        "scene_bound": payload.get("scene_bound"),
     }

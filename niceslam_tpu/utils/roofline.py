@@ -110,11 +110,14 @@ def render_cost(n_rays: int, n_samples: int, c_dim: int,
     """Aggregate analytic cost of render_rays at a stage (decoder levels it
     touches per models/decoders.nice_forward routing)."""
     n = n_rays * n_samples
+    # models/decoders.py samples the middle feature ONCE for the fine+middle
+    # residual path (_geo_occ), so the fine/color stages cost exactly one
+    # trilinear + one MLP per listed level.
     levels = {
         "coarse": ["coarse"],
         "middle": ["middle"],
         "fine": ["fine", "middle"],
-        "color": ["color", "fine", "middle", "middle"],
+        "color": ["color", "fine", "middle"],
     }[stage]
     flops = bytes_ = 0.0
     for lvl in levels:

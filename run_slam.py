@@ -92,10 +92,33 @@ def main():
     from niceslam_tpu.io.prefetch import Prefetcher
     from niceslam_tpu.utils.profiling import trace
 
+    def dump_mesh(path):
+        from niceslam_tpu.eval.mesher import extract_mesh, write_ply
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        verts, faces, colors = extract_mesh(
+            slam.state.decoders, slam.state.grids, slam.bounds,
+            slam.scene_bound, resolution=args.mesh_resolution,
+        )
+        write_ply(path, verts, faces, colors)
+        return len(verts), len(faces)
+
+    # Periodic meshing every mapping.mesh_freq frames (the reference intent:
+    # config/nice_slam.yaml:58 declares mesh_freq; nothing reads it there).
+    mesh_every = cfg.mapping.mesh_freq
+    mesh_stem = os.path.splitext(args.mesh)[0] if args.mesh else None
+
     pf = Prefetcher(slam.reader, device=jax.devices()[0], start=start, end=n)
     with trace(args.profile_dir) if args.profile_dir else nullcontext():
         for i, frame in enumerate(pf, start=start):
             slam.step(frame)
+            if (
+                mesh_stem
+                and mesh_every > 0
+                and i > 0
+                and i % mesh_every == 0
+            ):
+                dump_mesh(f"{mesh_stem}_frame{i:06d}.ply")
             if args.ckpt_dir and i > 0 and i % ckpt_every == 0:
                 from niceslam_tpu.utils.checkpoint import save_checkpoint
 
@@ -104,6 +127,7 @@ def main():
                 save_checkpoint(
                     os.path.join(args.ckpt_dir, f"frame_{i:06d}"),
                     slam.state, slam.est_c2w, slam.gt_c2w, i,
+                    bounds=slam.bounds, scene_bound=slam.scene_bound,
                 )
         res = slam.result()
     if cfg.verbose:
@@ -113,18 +137,8 @@ def main():
         os.makedirs(os.path.dirname(args.trajectory) or ".", exist_ok=True)
         np.save(args.trajectory, np.asarray(res["est_c2w"]))
     if args.mesh:
-        from niceslam_tpu.eval.mesher import extract_mesh, write_ply
-
-        os.makedirs(os.path.dirname(args.mesh) or ".", exist_ok=True)
-        verts, faces, colors = extract_mesh(
-            slam.state.decoders,
-            slam.state.grids,
-            slam.bounds,
-            slam.scene_bound,
-            resolution=args.mesh_resolution,
-        )
-        write_ply(args.mesh, verts, faces, colors)
-        print(f"mesh: {len(verts)} verts, {len(faces)} faces -> {args.mesh}")
+        nv, nf = dump_mesh(args.mesh)
+        print(f"mesh: {nv} verts, {nf} faces -> {args.mesh}")
 
     ate = res.get("ate_rmse")
     print(
