@@ -149,6 +149,14 @@ class ParallelConfig:
     # device 0. Exact: the coarse stage touches only the coarse grid /
     # decoder, disjoint from middle/fine/color. No-op with one device.
     stage_ep: bool = False
+    # Tracker/mapper pipeline-role split (SURVEY.md §2.2 PP row: the
+    # upstream two-process design as TPU mesh roles): pin the tracker's
+    # program to the LAST visible device, disjoint from the staged mapper
+    # on device 0 (and from the coarse expert on device 1 when >=3 devices).
+    # The tracker reads a published map snapshot (one async D2D copy per
+    # mapping event); identical math on a different chip, so exact. No-op
+    # with one device or with a ('map','kf') mesh attached.
+    track_role: bool = False
 
 
 @dataclass(frozen=True)

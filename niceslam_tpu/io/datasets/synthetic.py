@@ -34,11 +34,15 @@ def render_box_scene(
     """Analytic RGB-D of the box interior from pose ``c2w``.
 
     ``box`` is [3, 2] (min/max per axis). Returns (color [H,W,3], depth
-    [H,W] z-depth).
+    [H,W] z-depth). Fully vectorized float32 (one gather over the 6-face
+    color table instead of a per-wall masking loop): frame synthesis must
+    outpace the SLAM loop it feeds or the harness, not the engine, sets the
+    measured fps.
     """
+    box = np.asarray(box, np.float32)
     j, i = np.meshgrid(
-        np.arange(intr.H, dtype=np.float64),
-        np.arange(intr.W, dtype=np.float64),
+        np.arange(intr.H, dtype=np.float32),
+        np.arange(intr.W, dtype=np.float32),
         indexing="ij",
     )
     dirs = np.stack(
@@ -49,32 +53,32 @@ def render_box_scene(
         ],
         axis=-1,
     )
-    R, t = c2w[:3, :3], c2w[:3, 3]
+    R, t = c2w[:3, :3].astype(np.float32), c2w[:3, 3].astype(np.float32)
     d = dirs @ R.T  # [H, W, 3]
     o = t[None, None, :]
 
     with np.errstate(divide="ignore", invalid="ignore"):
         t_faces = (box.T[None, None] - o[..., None, :]) / d[..., None, :]
     # Exit distance: smallest positive t among the far faces.
-    t_faces = np.where(t_faces <= 1e-9, np.inf, t_faces)  # [H, W, 2, 3]
-    t_exit = t_faces.min(axis=(2, 3))
-    hit_flat = np.argmin(t_faces.reshape(*t_faces.shape[:2], 6), axis=-1)
-    face_sign = np.where(hit_flat < 3, -1, +1)  # row 0 = min faces
+    t_faces = np.where(t_faces <= 1e-9, np.float32(np.inf), t_faces)
+    t_faces = t_faces.reshape(intr.H, intr.W, 6)  # [min xyz, max xyz]
+    hit_flat = np.argmin(t_faces, axis=-1)
+    t_exit = np.take_along_axis(t_faces, hit_flat[..., None], axis=-1)[..., 0]
     face_axis = hit_flat % 3
 
     pts = o + d * t_exit[..., None]
-    color = np.zeros((intr.H, intr.W, 3), np.float64)
-    for (axis, sign), base in WALL_COLORS.items():
-        m = (face_axis == axis) & (face_sign == sign)
-        # checkerboard from the two in-plane coordinates
-        others = [a for a in range(3) if a != axis]
-        chk = (
-            np.floor(pts[..., others[0]] / checker)
-            + np.floor(pts[..., others[1]] / checker)
-        ) % 2
-        shade = 0.75 + 0.25 * chk
-        for c in range(3):
-            color[..., c] = np.where(m, base[c] * shade, color[..., c])
+    # Checkerboard from the two in-plane coordinates: sum of floor(p/checker)
+    # over all three axes minus the hit axis' own term.
+    fl = np.floor(pts / checker)
+    own = np.take_along_axis(fl, face_axis[..., None], axis=-1)[..., 0]
+    chk = (fl.sum(axis=-1) - own) % 2
+    shade = (0.75 + 0.25 * chk).astype(np.float32)
+    base_table = np.array(
+        [WALL_COLORS[(a, -1)] for a in range(3)]
+        + [WALL_COLORS[(a, +1)] for a in range(3)],
+        np.float32,
+    )  # index = hit_flat: rows 0-2 are the min faces, 3-5 the max faces
+    color = base_table[hit_flat] * shade[..., None]
     depth = t_exit  # dirs have unit |z| -> t is z-depth
     return color.astype(np.float32), depth.astype(np.float32)
 

@@ -46,6 +46,7 @@ from ..slam.mapper import (
     ProgConfig,
     Schedule,
     STAGE_ORDER,
+    freeze_for_stage,
     lr_tree_from_rows,
     mapping_loss,
 )
@@ -176,57 +177,68 @@ def _body(
     adam = optax.scale_by_adam()
 
     def step(carry, xs):
+        # Mirrors mapper._scan_step exactly (elementwise act-gating instead
+        # of a lax.cond skip — the cond carry-copied the whole params+moments
+        # pytree per iteration; same fix, same parity): pad rows leave params
+        # and moments bit-identical and report loss 0.
         it, sid, lg, ld, lc, act = xs
+        params, opt_state = carry
 
-        def run(carry):
-            params, opt_state = carry
-
-            def branch(stage):
-                return lambda p, k: mapping_loss(
-                    p, bounds, scene_bound, intr, colors, depths,
-                    frame_valid, cam_fixed, k, stage, pcfg.w_color_loss,
-                    rcfg, pcfg.n_pixels, ray_shard=(ray_start, n_local),
+        def branch(stage):
+            def f(p, k):
+                return mapping_loss(
+                    freeze_for_stage(p, stage, pcfg), bounds, scene_bound,
+                    intr, colors, depths, frame_valid, cam_fixed, k, stage,
+                    pcfg.w_color_loss, rcfg, pcfg.n_pixels,
+                    ray_shard=(ray_start, n_local),
                 )
 
-            def loss_fn(p, k):
-                return jax.lax.switch(
-                    sid, [branch(s) for s in STAGE_ORDER], p, k
-                )
+            return f
 
-            loss, g = jax.value_and_grad(loss_fn)(
-                params, jax.random.fold_in(key, it)
+        def loss_fn(p, k):
+            return jax.lax.switch(
+                sid, [branch(s) for s in STAGE_ORDER], p, k
             )
-            # Explicit gradient collectives (XLA cannot infer them through
-            # shard_map): the total loss/grads are sums over the kf ray
-            # shards. Grid-block grads stay local over `map` (each device
-            # owns its block; halo contributions already routed home by the
-            # ppermute transpose inside the sampler's VJP).
-            loss = jax.lax.psum(loss, KF_AXIS)
-            g = {
-                "grids": jax.lax.psum(g["grids"], KF_AXIS),
-                "decoders": jax.lax.psum(g["decoders"], KF_AXIS),
-                "cams": jax.lax.psum(g["cams"], KF_AXIS),
+
+        loss, g = jax.value_and_grad(loss_fn)(
+            params, jax.random.fold_in(key, it)
+        )
+        # Explicit gradient collectives (XLA cannot infer them through
+        # shard_map): the total loss/grads are sums over the kf ray
+        # shards. Grid-block grads stay local over `map` (each device
+        # owns its block; halo contributions already routed home by the
+        # ppermute transpose inside the sampler's VJP).
+        loss = jax.lax.psum(loss, KF_AXIS)
+        g = {
+            "grids": jax.lax.psum(g["grids"], KF_AXIS),
+            "decoders": jax.lax.psum(g["decoders"], KF_AXIS),
+            "cams": jax.lax.psum(g["cams"], KF_AXIS),
+        }
+        updates, new_opt_state = adam.update(g, opt_state, params)
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(act, new, old), new_opt_state,
+            opt_state,
+        )
+        lr_tree = lr_tree_from_rows(params, lg, ld, lc)
+        if pcfg.frustum:
+            mask_tree = {
+                "grids": {lvl: masks_blk[lvl] for lvl in params["grids"]},
+                "decoders": jax.tree_util.tree_map(
+                    lambda _: 1.0, params["decoders"]
+                ),
+                "cams": 1.0,
             }
-            if pcfg.frustum:
-                g["grids"] = {
-                    lvl: g["grids"][lvl] * masks_blk[lvl]
-                    for lvl in g["grids"]
-                }
-            updates, opt_state = adam.update(g, opt_state, params)
             updates = jax.tree_util.tree_map(
-                lambda u, lr: -lr * u,
-                updates,
-                lr_tree_from_rows(params, lg, ld, lc),
+                lambda u, lr, mk: jnp.where(act, (-lr) * u * mk, 0.0),
+                updates, lr_tree, mask_tree,
             )
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        def skip(carry):
-            # Pad rows: whole step skipped, matching the unsharded program
-            # (mapper._scan_step) exactly — moments untouched, loss 0.
-            return carry, jnp.float32(0.0)
-
-        return jax.lax.cond(act, run, skip, carry)
+        else:
+            updates = jax.tree_util.tree_map(
+                lambda u, lr: jnp.where(act, (-lr) * u, 0.0),
+                updates, lr_tree,
+            )
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), jnp.where(act, loss, 0.0)
 
     with override_sampler(_halo_sample):
         xs = (sched.iter_idx, sched.stage_ids, sched.lr_grids,

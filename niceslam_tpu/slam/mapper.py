@@ -35,7 +35,7 @@ every mapping call (init included: unused slots are just invalid).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, NamedTuple, Tuple
 
 import jax
@@ -77,11 +77,27 @@ class MapOptConfig(NamedTuple):
 
 class ProgConfig(NamedTuple):
     """The static-arg subset that defines the compiled program. Everything
-    else (stage routing, LRs, BA) is traced, so it never recompiles."""
+    else (stage routing, LR values) is traced, so it never recompiles.
+
+    ``ba`` and ``dec_train`` prune dead BACKWARD structure per stage branch
+    (scripts/dispatch_probe.py r3: the in-scan iteration cost ran ~2-3x the
+    raw grid-grad loss because frozen decoders' weight-grad matmuls and the
+    camera chain compiled into every branch): cams are differentiated only
+    in the color branch and only when BA is config-enabled (rows with
+    lr_cam=0 discard the grad anyway — exact); decoder levels are
+    differentiated per-stage only where the LR table can be nonzero. Both
+    passes of an event share one table, so coarse + staged still execute ONE
+    compiled program — the coarse rows just run the cheap coarse branch.
+    """
 
     n_pixels: int = 1000
     w_color_loss: float = 0.2
     frustum: bool = True
+    ba: bool = False
+    # [stage][level] decoder trainability, STAGE_ORDER x LEVEL_ORDER.
+    dec_train: Tuple[Tuple[bool, bool, bool, bool], ...] = (
+        ((False,) * 4,) * 4
+    )
 
 
 class Schedule(NamedTuple):
@@ -139,6 +155,40 @@ def _grid_lr(level: str, lrs: StageLR) -> float:
         "fine": lrs.fine_lr,
         "color": lrs.color_lr,
     }[level]
+
+
+def dec_train_table(
+    stage_lr_fn, cfg: MapOptConfig
+) -> Tuple[Tuple[bool, bool, bool, bool], ...]:
+    """[stage][level] decoder-trainability for ProgConfig.dec_train.
+
+    Computed from the FULL stage-LR table (not a single pass's plan) so the
+    coarse pass and the staged pass of one mapping event produce identical
+    ProgConfigs — i.e. share one compiled program.
+    """
+    return tuple(
+        tuple(
+            _decoder_lr(lvl, stage_lr_fn(stage), cfg) != 0.0
+            for lvl in LEVEL_ORDER
+        )
+        for stage in STAGE_ORDER
+    )
+
+
+def dec_train_from_plan(
+    plan: StagePlan, cfg: MapOptConfig
+) -> Tuple[Tuple[bool, bool, bool, bool], ...]:
+    """Like :func:`dec_train_table` but from a pass plan (stages absent from
+    the plan never execute, so their rows are all-False)."""
+    by_stage = {stage: lrs for stage, _, lrs in plan}
+    return tuple(
+        tuple(
+            _decoder_lr(lvl, by_stage[stage], cfg) != 0.0
+            if stage in by_stage else False
+            for lvl in LEVEL_ORDER
+        )
+        for stage in STAGE_ORDER
+    )
 
 
 def _decoder_lr(level: str, lrs: StageLR, cfg: MapOptConfig) -> float:
@@ -213,6 +263,51 @@ def pad_schedule(sched: Schedule, to: int) -> Schedule:
 def init_opt_state(params):
     """Adam moment state for a fresh mapping event (chained across chunks)."""
     return optax.scale_by_adam().init(params)
+
+
+@lru_cache(maxsize=64)
+def chunked_schedule(
+    plan: StagePlan, cfg: MapOptConfig, chunk_size: int
+) -> Tuple[Tuple[Schedule, ...], Tuple[int, ...]]:
+    """The plan as device-resident, pre-padded schedule chunks (cached).
+
+    Every normal mapping event re-uses the SAME (plan, cfg, chunk) triple, so
+    rebuilding its schedule arrays per event costs a dozen tiny device
+    dispatches for identical data — pure overhead on a remote-tunneled chip.
+    This builds the chunks once (host-side numpy, one device transfer per
+    array) and caches them keyed on the hashable plan/cfg. Returns
+    ``(chunks, real_lengths)`` where pad rows beyond each real length are
+    inactive (skipped by the scan step).
+    """
+    full = schedule_arrays(plan, cfg)
+    host = Schedule(*(np.asarray(x) for x in full))
+    n_total = len(full)
+    chunks, reals = [], []
+    for s0 in range(0, n_total, chunk_size):
+        part = Schedule(*(x[s0:s0 + chunk_size] for x in host))
+        real = len(part.stage_ids)
+        p = chunk_size - real
+        if p:
+            part = Schedule(
+                iter_idx=np.concatenate(
+                    [part.iter_idx,
+                     part.iter_idx[-1] + 1 + np.arange(p, dtype=np.int32)]
+                ),
+                stage_ids=np.concatenate(
+                    [part.stage_ids, np.zeros((p,), np.int32)]
+                ),
+                lr_grids=np.concatenate(
+                    [part.lr_grids, np.zeros((p, 4), np.float32)]
+                ),
+                lr_dec=np.concatenate(
+                    [part.lr_dec, np.zeros((p, 4), np.float32)]
+                ),
+                lr_cam=np.concatenate([part.lr_cam, np.zeros((p,), np.float32)]),
+                active=np.concatenate([part.active, np.zeros((p,), bool)]),
+            )
+        chunks.append(Schedule(*(jnp.asarray(x) for x in part)))
+        reals.append(real)
+    return tuple(chunks), tuple(reals)
 
 
 def mapping_loss(
@@ -319,50 +414,87 @@ def _scan_step(
 ):
     """One joint iteration: switch-dispatched stage loss, Adam, traced LRs.
 
-    Inactive (pad) rows skip the whole step via ``lax.cond`` — no loss/grad
-    evaluation, moments untouched (r2 ADVICE low #4)."""
+    Inactive (pad) rows leave params AND Adam moments bit-identical (r2
+    ADVICE low #4) via elementwise gating on the ``act`` flag rather than a
+    ``lax.cond`` skip: the cond's untaken branch forced XLA to carry-copy
+    the whole 40 MB params+moments pytree every iteration (~6 ms/iter
+    measured on v5e — scripts/dispatch_probe.py), which cost more than the
+    loss evaluation it saved. The frustum mask is folded into the same
+    update expression so grads see one fused elementwise pass.
+    """
     it, sid, lg, ld, lc, act = xs
+    params, opt_state = carry
 
-    def run(carry):
-        params, opt_state = carry
-
-        def branch(stage):
-            return lambda p, k: mapping_loss(
-                p, bounds, scene_bound, intr, colors, depths, frame_valid,
-                cam_fixed, k, stage, pcfg.w_color_loss, rcfg, pcfg.n_pixels,
+    def branch(stage):
+        def f(p, k):
+            return mapping_loss(
+                freeze_for_stage(p, stage, pcfg), bounds, scene_bound, intr,
+                colors, depths, frame_valid, cam_fixed, k, stage,
+                pcfg.w_color_loss, rcfg, pcfg.n_pixels,
             )
 
-        def loss_fn(p, k):
-            return jax.lax.switch(
-                sid, [branch(s) for s in STAGE_ORDER], p, k
-            )
+        return f
 
-        loss, g = jax.value_and_grad(loss_fn)(
-            params, jax.random.fold_in(key, it)
+    def loss_fn(p, k):
+        return jax.lax.switch(
+            sid, [branch(s) for s in STAGE_ORDER], p, k
         )
-        if pcfg.frustum:
-            g = {
-                "grids": {
-                    lvl: g["grids"][lvl] * grid_masks[lvl] for lvl in g["grids"]
-                },
-                "decoders": g["decoders"],
-                "cams": g["cams"],
-            }
-        adam = optax.scale_by_adam()
-        updates, opt_state = adam.update(g, opt_state, params)
+
+    loss, g = jax.value_and_grad(loss_fn)(
+        params, jax.random.fold_in(key, it)
+    )
+    adam = optax.scale_by_adam()
+    updates, new_opt_state = adam.update(g, opt_state, params)
+    # Pad rows: moments (incl. count) revert to their previous values, and
+    # updates gate to exactly zero (where, not multiply: a non-finite pad-row
+    # grad must not poison params via inf * 0).
+    opt_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(act, new, old), new_opt_state, opt_state
+    )
+    lr_tree = lr_tree_from_rows(params, lg, ld, lc)
+    if pcfg.frustum:
+        mask_tree = {
+            "grids": {lvl: grid_masks[lvl] for lvl in params["grids"]},
+            "decoders": jax.tree_util.tree_map(
+                lambda _: 1.0, params["decoders"]
+            ),
+            "cams": 1.0,
+        }
         updates = jax.tree_util.tree_map(
-            lambda u, lr: -lr * u,
-            updates,
-            lr_tree_from_rows(params, lg, ld, lc),
+            lambda u, lr, mk: jnp.where(act, (-lr) * u * mk, 0.0),
+            updates, lr_tree, mask_tree,
         )
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
+    else:
+        updates = jax.tree_util.tree_map(
+            lambda u, lr: jnp.where(act, (-lr) * u, 0.0), updates, lr_tree
+        )
+    params = optax.apply_updates(params, updates)
+    return (params, opt_state), jnp.where(act, loss, 0.0)
 
-    def skip(carry):
-        return carry, jnp.float32(0.0)
 
-    carry, loss = jax.lax.cond(act, run, skip, carry)
-    return carry, loss
+def freeze_for_stage(params, stage: str, pcfg: ProgConfig):
+    """stop_gradient the leaves this stage's branch never trains.
+
+    Pruning dead cotangent structure OUT of the compiled backward: frozen
+    decoders' weight-grad matmuls and the camera pose chain are the
+    difference between the ~16 ms/iter in-scan step and the ~10 ms raw
+    grid-grad loss (scripts/dispatch_probe.py). Exact: pruned leaves all had
+    zero LR in this stage's schedule rows, so their (discarded) updates were
+    already zero.
+    """
+    row = pcfg.dec_train[STAGE_ORDER.index(stage)]
+    sg = jax.lax.stop_gradient
+    dec = {
+        lvl: sub if row[LEVEL_ORDER.index(lvl)]
+        else jax.tree_util.tree_map(sg, sub)
+        for lvl, sub in params["decoders"].items()
+    }
+    cams = (
+        params["cams"]
+        if (pcfg.ba and stage == "color")
+        else sg(params["cams"])
+    )
+    return {"grids": params["grids"], "decoders": dec, "cams": cams}
 
 
 def lr_tree_from_rows(params, lg, ld, lc):
@@ -475,6 +607,8 @@ def optimize_window(
         n_pixels=n_pixels,
         w_color_loss=cfg.w_color_loss,
         frustum=cfg.frustum_feature_selection,
+        ba=cfg.BA,
+        dec_train=dec_train_from_plan(plan, cfg),
     )
     opt_state = init_opt_state(
         {"grids": grids, "decoders": decoders, "cams": cam_tensors}

@@ -39,12 +39,11 @@ from . import keyframes as kf_mod
 from .mapper import (
     MapOptConfig,
     ProgConfig,
-    Schedule,
+    Schedule,  # noqa: F401 — part of the driver's public re-export surface
     build_stage_plan,
+    chunked_schedule,
     init_opt_state,
-    pad_schedule,
     run_schedule,
-    schedule_arrays,
 )
 from .state import MapState, add_keyframe, init_state
 from .tracker import TrackConfig, track_frame
@@ -97,6 +96,12 @@ class NiceSLAM:
             kf_capacity=cfg.mapping.max_keyframes,
         )
         self.scene_bound = jnp.asarray(bound)
+        # Commit the initial world to device 0 so the very first mapping
+        # event already runs the same (committed) program signature the
+        # steady state uses (see _commit).
+        self.state, self.bounds, self.scene_bound = self._commit(
+            (self.state, self.bounds, self.scene_bound)
+        )
         # Pretrained decoder import (upstream loads traced pretrained
         # decoders and freezes middle/fine — reference src/models/NICE.cpp:
         # 8-11, config/nice_slam.yaml:13-15,51). Without checkpoints the
@@ -163,6 +168,11 @@ class NiceSLAM:
         # guard is verified one event later (with state rollback), and loss
         # curves materialize at flush()/result().
         self.sync_method = cfg.sync_method
+        # PP role split (parallel.track_role, SURVEY.md §2.2 PP row): the
+        # tracker's program runs on the last visible device, disjoint from
+        # the staged mapper on device 0. The tracker pins a map snapshot per
+        # published version — one async D2D copy per mapping event.
+        self._track_snap_cache = None  # (state.version, (decoders, grids))
         self._pending_verify = None  # (idx, coarse, stages, losses, prev)
         self._track_loss_dev: List = []  # deferred device loss curves
         # Host mirrors of keyframe-DB bookkeeping so the async frame loop
@@ -177,9 +187,52 @@ class NiceSLAM:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    @staticmethod
+    def _commit(tree, device=None):
+        """Pin every leaf as COMMITTED to ``device`` (default device 0).
+
+        jit's executable cache keys on input committedness (an uncommitted
+        array and the same array committed to device 0 are DIFFERENT cache
+        entries), so precompile() warming uncommitted dummies while the live
+        loop calls with device_put frames compiled the big mapping program
+        twice — a 100-200 s first-encounter stall at the first real mapping
+        event on a tunneled chip. Committing everything at every hot call
+        site makes the signature unconditional. device_put of an array
+        already on the target device is transfer-free.
+        """
+        if device is None:
+            device = jax.devices()[0]
+        return jax.device_put(tree, device)
+
     def _published(self):
         """Map snapshot the tracker pins for this frame (strict sync)."""
         return self.state
+
+    def _track_device(self):
+        """Device the tracker role is pinned to (None = share device 0).
+
+        Active only with >=2 devices and no ('map','kf') mesh attached (a
+        mesh owns every device; the sharded mapping program and a pinned
+        tracker would fight over placement).
+        """
+        if not self.cfg.parallel.track_role:
+            return None
+        if getattr(self, "_runtime", None) is not None:
+            return None
+        devs = jax.devices()
+        return devs[-1] if len(devs) > 1 else None
+
+    def _track_snapshot(self, snap, device):
+        """The published map, resident on the tracker's device.
+
+        Cached per published version: the D2D copy (grids + decoders,
+        ~13 MB) happens once per mapping event, dispatched asynchronously.
+        """
+        cache = self._track_snap_cache
+        if cache is None or cache[0] != snap.version:
+            moved = jax.device_put((snap.decoders, snap.grids), device)
+            self._track_snap_cache = (snap.version, moved)
+        return self._track_snap_cache[1]
 
     # -------------------------------------------------------------- tracking
     def track(self, frame: Frame) -> np.ndarray:
@@ -200,19 +253,32 @@ class NiceSLAM:
             else:
                 init = prev
             snap = self._published()
+            decs, grds = snap.decoders, snap.grids
+            color_j, depth_j = jnp.asarray(frame.color), jnp.asarray(frame.depth)
+            key = self._next_key()
+            td = self._track_device()
+            if td is not None:
+                # PP role split: run this frame's whole tracking program on
+                # the tracker device; only the 4x4 pose returns to device 0.
+                decs, grds = self._track_snapshot(snap, td)
+            color_j, depth_j, init, key = self._commit(
+                (color_j, depth_j, init, key), td
+            )
             c2w_j, loss_curve = track_frame(
-                snap.decoders,
-                snap.grids,
+                decs,
+                grds,
                 self.bounds,
                 self.scene_bound,
                 self.intr,
-                jnp.asarray(frame.color),
-                jnp.asarray(frame.depth),
+                color_j,
+                depth_j,
                 init,
-                self._next_key(),
+                key,
                 self.tcfg,
                 self.rcfg,
             )
+            if td is not None:
+                c2w_j = jax.device_put(c2w_j, jax.devices()[0])
             if self.sync_method == "async":
                 # Free-running: the pose stays a device array (a future);
                 # every consumer (warm start, window assembly, keyframes) is
@@ -264,13 +330,17 @@ class NiceSLAM:
                     pick = rng.permutation(prev_slots)[:n_sel]
                     slots = [int(s) for s in pick]
                 else:
+                    key, c2w_a, depth_a, color_a, kf_a = self._commit(
+                        (
+                            self._next_key(),
+                            jnp.asarray(self.est_c2w[-1]),
+                            jnp.asarray(self._cur_depth),
+                            jnp.asarray(self._cur_color),
+                            db.est_c2w,
+                        )
+                    )
                     pct = kf_mod.keyframe_overlap_percentages(
-                        self._next_key(),
-                        self.intr,
-                        jnp.asarray(self.est_c2w[-1]),
-                        jnp.asarray(self._cur_depth),
-                        jnp.asarray(self._cur_color),
-                        db.est_c2w,
+                        key, self.intr, c2w_a, depth_a, color_a, kf_a
                     )
                     p = np.asarray(pct)
                     cand = [s for s in prev_slots if p[s] > 0]
@@ -431,6 +501,22 @@ class NiceSLAM:
             decoders_lr_fallback=m.decoders_lr,
         )
 
+    def _make_pcfg(self, mcfg: MapOptConfig) -> ProgConfig:
+        """Static program config shared by the coarse AND staged passes of an
+        event (one compiled program: per-branch backward pruning keys on the
+        stage TABLE, and ``ba`` on the config flag rather than the per-pass
+        gate, so the signature never varies mid-run)."""
+        from .mapper import dec_train_table
+
+        m = self.cfg.mapping
+        return ProgConfig(
+            n_pixels=m.pixels,
+            w_color_loss=mcfg.w_color_loss,
+            frustum=mcfg.frustum_feature_selection,
+            ba=m.BA,
+            dec_train=dec_train_table(m.stage_lr, mcfg),
+        )
+
     def _make_plan(self, iters: int, coarse: bool, refine: bool):
         m = self.cfg.mapping
         return build_stage_plan(
@@ -522,38 +608,42 @@ class NiceSLAM:
         # so no pass ever compiles a second mapping program (VERDICT r1
         # weak #4: 233 s first-encounter stalls are now structural
         # impossibilities for same-F passes).
-        pcfg = ProgConfig(
-            n_pixels=m.pixels,
-            w_color_loss=mcfg.w_color_loss,
-            frustum=mcfg.frustum_feature_selection,
-        )
-        sched = schedule_arrays(plan, mcfg)
-        n_total = len(sched)
+        pcfg = self._make_pcfg(mcfg)
+        n_total = sum(n for _, n, _ in plan)
         ch = min(m.iters, n_total)
+        # Device-resident pre-padded chunks, cached per (plan, mcfg, ch):
+        # identical events share them, so an event costs zero schedule
+        # dispatches (the rebuild was ~a dozen tiny device ops per event —
+        # pure latency on a remote-tunneled chip).
+        sched_chunks, sched_reals = chunked_schedule(plan, mcfg, ch)
         grids, decoders = self.state.grids, self.state.decoders
         key = self._next_key()
-        if device is not None:
-            # stage-EP: commit this pass's inputs to its expert device; the
-            # jitted program then executes there, concurrent with device 0.
-            grids, decoders, masks, cams, colors, depths, key = (
-                jax.device_put(
-                    (grids, decoders, masks, cams, colors, depths, key),
-                    device,
-                )
+        valid_j, fixed_j = jnp.asarray(valid), jnp.asarray(fixed)
+        bounds, scene_bound = self.bounds, self.scene_bound
+        if getattr(self, "_runtime", None) is None:
+            # Uniform committedness (see _commit): every input of the hot
+            # program pinned to the pass device — dev 0, or the stage-EP
+            # expert device. Mesh-attached runs keep their NamedShardings.
+            (grids, decoders, masks, cams, colors, depths, key, valid_j,
+             fixed_j, bounds, scene_bound, sched_chunks) = self._commit(
+                (grids, decoders, masks, cams, colors, depths, key, valid_j,
+                 fixed_j, bounds, scene_bound, sched_chunks),
+                device,
             )
         new_cams = cams
         opt_state = init_opt_state(
             {"grids": grids, "decoders": decoders, "cams": cams}
         )
-        valid_j, fixed_j = jnp.asarray(valid), jnp.asarray(fixed)
+        if getattr(self, "_runtime", None) is None:
+            # zeros_like yields uncommitted moments; chunk 2 of a chained
+            # pass would otherwise see a different input signature than
+            # chunk 1 (committed outputs thread back in).
+            opt_state = self._commit(opt_state, device)
         losses_parts = []
-        for s0 in range(0, n_total, ch):
-            chunk = Schedule(*(x[s0:s0 + ch] for x in sched))
-            real = len(chunk)
-            chunk = pad_schedule(chunk, ch)
+        for chunk, real in zip(sched_chunks, sched_reals):
             grids, decoders, new_cams, opt_state, lo = self.run_schedule_fn(
-                grids, decoders, new_cams, masks, self.bounds,
-                self.scene_bound, self.intr, colors, depths,
+                grids, decoders, new_cams, masks, bounds,
+                scene_bound, self.intr, colors, depths,
                 valid_j, fixed_j, key, chunk, opt_state, pcfg, self.rcfg,
             )
             losses_parts.append(lo[:real])
@@ -722,32 +812,45 @@ class NiceSLAM:
         depth1 = jnp.ones((H, W_), jnp.float32)
         eye = jnp.eye(4, dtype=jnp.float32)
 
-        # tracker program (frames >= 1)
+        mesh_attached = getattr(self, "_runtime", None) is not None
+
+        # tracker program (frames >= 1); with the PP role split also warm the
+        # tracker-device executable (a distinct entry in jit's placement
+        # cache, same reasoning as the stage-EP warm below). Committedness
+        # must match the live call exactly (_commit) or the warm executable
+        # is a different cache entry than the one the loop needs.
         if not self.cfg.tracking.gt_camera:
+            c_t, dep_t, e_t, k_t = self._commit((color1, depth1, eye, key))
             track_frame(
                 self.state.decoders, self.state.grids, self.bounds,
-                self.scene_bound, self.intr, color1, depth1, eye, key,
+                self.scene_bound, self.intr, c_t, dep_t, e_t, k_t,
                 self.tcfg, self.rcfg,
             )
+            td = self._track_device()
+            if td is not None:
+                d_t, g_t, c_t, dep_t, e_t, k_t = self._commit(
+                    (self.state.decoders, self.state.grids, color1, depth1,
+                     eye, key),
+                    td,
+                )
+                track_frame(
+                    d_t, g_t, self.bounds, self.scene_bound, self.intr,
+                    c_t, dep_t, e_t, k_t, self.tcfg, self.rcfg,
+                )
         # keyframe-selection + frustum-mask helper programs
         if m.keyframe_selection_method == "overlap":
+            k_o, e_o, dep_o, col_o, kf_o = self._commit(
+                (key, eye, depth1, color1, self.state.keyframes.est_c2w)
+            )
             kf_mod.keyframe_overlap_percentages(
-                key, self.intr, eye, depth1, color1,
-                self.state.keyframes.est_c2w,
+                k_o, self.intr, e_o, dep_o, col_o, kf_o
             )
 
         for F, refine in self._precompile_signatures():
             mcfg = self._make_mcfg(False, refine, 1.0)
             plan = self._make_plan(m.iters, False, refine)
-            sched = pad_schedule(
-                Schedule(*(x[: m.iters] for x in schedule_arrays(plan, mcfg))),
-                m.iters,
-            )
-            pcfg = ProgConfig(
-                n_pixels=m.pixels,
-                w_color_loss=mcfg.w_color_loss,
-                frustum=mcfg.frustum_feature_selection,
-            )
+            sched_chunks, _ = chunked_schedule(plan, mcfg, m.iters)
+            pcfg = self._make_pcfg(mcfg)
             colors = jnp.ones((F, H, W_, 3), jnp.float32)
             depths = jnp.ones((F, H, W_), jnp.float32)
             poses44 = jnp.tile(eye, (F, 1, 1))
@@ -764,18 +867,36 @@ class NiceSLAM:
                     lvl: jnp.ones(g.shape[:3] + (1,), g.dtype)
                     for lvl, g in self.state.grids.items()
                 }
-            opt_state = init_opt_state(
-                {
-                    "grids": self.state.grids,
-                    "decoders": self.state.decoders,
-                    "cams": cams,
-                }
-            )
-            self.run_schedule_fn(
-                self.state.grids, self.state.decoders, cams, masks,
-                self.bounds, self.scene_bound, self.intr, colors, depths,
-                valid, fixed, key, sched, opt_state, pcfg, self.rcfg,
-            )
+
+            def warm(device=None):
+                if mesh_attached:
+                    g_w, d_w, m_w, c_w, col_w, dep_w, k_w = (
+                        self.state.grids, self.state.decoders, masks, cams,
+                        colors, depths, key,
+                    )
+                    v_w, f_w, b_w, sb_w, ch_w = (
+                        valid, fixed, self.bounds, self.scene_bound,
+                        sched_chunks,
+                    )
+                else:
+                    (g_w, d_w, m_w, c_w, col_w, dep_w, k_w, v_w, f_w, b_w,
+                     sb_w, ch_w) = self._commit(
+                        (self.state.grids, self.state.decoders, masks, cams,
+                         colors, depths, key, valid, fixed, self.bounds,
+                         self.scene_bound, sched_chunks),
+                        device,
+                    )
+                opt_w = init_opt_state(
+                    {"grids": g_w, "decoders": d_w, "cams": c_w}
+                )
+                if not mesh_attached:
+                    opt_w = self._commit(opt_w, device)
+                self.run_schedule_fn(
+                    g_w, d_w, c_w, m_w, b_w, sb_w, self.intr, col_w, dep_w,
+                    v_w, f_w, k_w, ch_w[0], opt_w, pcfg, self.rcfg,
+                )
+
+            warm()
             # stage-EP: the coarse expert executes the same program ON
             # DEVICE 1 — a distinct executable in jit's device-placement
             # cache. Warm it too, or the first EP coarse pass reintroduces
@@ -783,23 +904,10 @@ class NiceSLAM:
             if (
                 not refine
                 and self.cfg.parallel.stage_ep
-                and getattr(self, "_runtime", None) is None
+                and not mesh_attached
                 and len(jax.devices()) > 1
             ):
-                dev1 = jax.devices()[1]
-                (g1, d1, m1, c1, col1, dep1, k1) = jax.device_put(
-                    (self.state.grids, self.state.decoders, masks, cams,
-                     colors, depths, key),
-                    dev1,
-                )
-                opt1 = init_opt_state(
-                    {"grids": g1, "decoders": d1, "cams": c1}
-                )
-                self.run_schedule_fn(
-                    g1, d1, c1, m1, self.bounds, self.scene_bound,
-                    self.intr, col1, dep1, valid, fixed, k1, sched, opt1,
-                    pcfg, self.rcfg,
-                )
+                warm(jax.devices()[1])
 
     def precompile_async(self):
         """Run precompile() on a daemon thread, overlapped with early frames
@@ -891,7 +999,10 @@ class NiceSLAM:
         from ..utils.checkpoint import load_checkpoint
 
         payload = load_checkpoint(ckpt_path)
-        self.state = payload["state"]
+        # load_checkpoint returns HOST numpy (topology-portable); the live
+        # state must be device arrays — the driver's window assembly uses
+        # jax-array ops (.at[...]) on the keyframe DB.
+        self.state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
         # Bounds travel WITH the grids: a snapshot taken while attached to a
         # ('map','kf') mesh has Z-padded grids and correspondingly extended
         # z bounds — restoring the grids without the bounds skews every

@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--iters-first", type=int, default=1500)
     ap.add_argument("--every-frame", type=int, default=5)
     ap.add_argument("--keyframe-every", type=int, default=10)
+    ap.add_argument("--pretrained", default="",
+                    help="pretrained decoder npz (cfg.pretrained_middle_fine)")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--depth-psnr", action="store_true",
                     help="render final-frame depth and report L1/PSNR")
     args = ap.parse_args()
@@ -98,10 +101,11 @@ def main():
         coarse=not args.no_coarse,
         verbose=False,
         sync_method=args.sync,
+        pretrained_middle_fine=args.pretrained,
     )
     n = args.frames
     reader = SyntheticBoxReader(cfg, n_frames=n)
-    slam = NiceSLAM(cfg, reader=reader)
+    slam = NiceSLAM(cfg, reader=reader, seed=args.seed)
     slam.precompile_async()
 
     t0 = time.perf_counter()
@@ -133,6 +137,8 @@ def main():
         "variant": {
             "gt_camera": args.gt_camera,
             "decoder_train": args.decoder_train,
+            "pretrained": bool(args.pretrained),
+            "seed": args.seed,
             "coarse": not args.no_coarse,
             "BA": not args.no_ba,
             "track": [args.track_pixels, args.track_iters, args.track_lr],

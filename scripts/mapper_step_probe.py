@@ -42,7 +42,8 @@ def main():
     from niceslam_tpu.models.decoders import DecoderConfig, init_decoders
     from niceslam_tpu.render.renderer import RenderConfig
     from niceslam_tpu.slam.mapper import (
-        MapOptConfig, ProgConfig, Schedule, build_stage_plan,
+        MapOptConfig,
+    dec_train_from_plan, ProgConfig, Schedule, build_stage_plan,
         init_opt_state, pad_schedule, run_schedule, schedule_arrays,
     )
     from niceslam_tpu.slam.tracker import TrackConfig, track_frame
@@ -75,7 +76,8 @@ def main():
         Schedule(*(x[: args.iters] for x in schedule_arrays(plan, mcfg))),
         args.iters,
     )
-    pcfg = ProgConfig(n_pixels=1000, w_color_loss=0.2, frustum=True)
+    pcfg = ProgConfig(n_pixels=1000, w_color_loss=0.2, frustum=True,
+                  dec_train=dec_train_from_plan(plan, mcfg))
     opt_state = init_opt_state(
         {"grids": grids, "decoders": decoders, "cams": cams}
     )

@@ -63,6 +63,7 @@ def main():
     from niceslam_tpu.render.renderer import RenderConfig
     from niceslam_tpu.slam.mapper import (
         MapOptConfig,
+    dec_train_from_plan,
         ProgConfig,
         build_stage_plan,
         init_opt_state,
@@ -137,7 +138,8 @@ def main():
     plan = build_stage_plan(args.iters, 0.4, 0.6, m.stage_lr)
     mcfg = MapOptConfig(train_all_decoders=True)
     n_pixels = 32 * n_total
-    pcfg = ProgConfig(n_pixels=n_pixels, w_color_loss=0.2, frustum=True)
+    pcfg = ProgConfig(n_pixels=n_pixels, w_color_loss=0.2, frustum=True,
+                  dec_train=dec_train_from_plan(plan, mcfg))
     rcfg = RenderConfig(n_samples=8, n_surface=4)
     sched = schedule_arrays(plan, mcfg)
     sharded = make_sharded_run_schedule(mesh)

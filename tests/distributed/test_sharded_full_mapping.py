@@ -23,6 +23,7 @@ from niceslam_tpu.parallel.sharded_mapper import (
 from niceslam_tpu.render.renderer import RenderConfig
 from niceslam_tpu.slam.mapper import (
     MapOptConfig,
+    dec_train_from_plan,
     ProgConfig,
     build_stage_plan,
     init_opt_state,
@@ -95,7 +96,8 @@ def test_sharded_run_schedule_matches_unsharded(n_map, n_kf):
     plan = build_stage_plan(8, 0.4, 0.6, m.stage_lr)
     mcfg = MapOptConfig(BA=True, train_all_decoders=True, lr_factor=1.0)
     n_pixels = 64  # divisible by every n_kf above
-    pcfg = ProgConfig(n_pixels=n_pixels, w_color_loss=0.2, frustum=True)
+    pcfg = ProgConfig(n_pixels=n_pixels, w_color_loss=0.2, frustum=True,
+                  ba=True, dec_train=dec_train_from_plan(plan, mcfg))
     rcfg = RenderConfig(n_samples=8, n_surface=4)
     sched = schedule_arrays(plan, mcfg)
     opt0 = init_opt_state(
