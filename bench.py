@@ -46,9 +46,19 @@ def main():
     from niceslam_tpu.io.datasets.synthetic import SyntheticBoxReader
     from niceslam_tpu.slam.system import NiceSLAM
 
+    # Pretrained decoders (upstream ships pretrained ConvONet decoders and
+    # freezes middle/fine at SLAM time — reference src/models/NICE.cpp:8-11,
+    # config/nice_slam.yaml:13-15,51). The checked-in artifact comes from
+    # scripts/pretrain_decoders.py (multi-scene synthetic recipe).
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _pretrained = os.path.join(_here, "models", "pretrained_decoders.npz")
+    if not os.path.exists(_pretrained):
+        _pretrained = ""
+
     cfg = SLAMConfig(
         dataset="synthetic",
         bound=((-4.5, 3.82), (-1.5, 2.02), (-3.0, 2.76)),
+        pretrained_middle_fine=_pretrained,
         cam=CamConfig(H=480, W=640, fx=360.0, fy=360.0, cx=320.0, cy=240.0),
         grid_len=GridLenConfig(),
         tracking=TrackingConfig(pixels=200, iters=10),
@@ -68,9 +78,9 @@ def main():
         # one GPU; "async" is that semantics on JAX async dispatch (the host
         # never blocks inside the frame loop; publish guards are deferred
         # one event with rollback).
-        sync_method="async",
+        sync_method=os.environ.get("BENCH_SYNC", "async"),
     )
-    n_frames = 36
+    n_frames = int(os.environ.get("BENCH_FRAMES", "36"))
     reader = SyntheticBoxReader(cfg, n_frames=n_frames)
     slam = NiceSLAM(cfg, reader=reader)
     # Warm every program signature concurrently with the first frames so no

@@ -473,27 +473,36 @@ def _scan_step(
 
 
 def freeze_for_stage(params, stage: str, pcfg: ProgConfig):
-    """stop_gradient the leaves this stage's branch never trains.
+    """stop_gradient the leaves NO stage of this pass ever trains.
 
     Pruning dead cotangent structure OUT of the compiled backward: frozen
     decoders' weight-grad matmuls and the camera pose chain are the
     difference between the ~16 ms/iter in-scan step and the ~10 ms raw
-    grid-grad loss (scripts/dispatch_probe.py). Exact: pruned leaves all had
-    zero LR in this stage's schedule rows, so their (discarded) updates were
-    already zero.
+    grid-grad loss (scripts/dispatch_probe.py).
+
+    The freeze set is the UNION over stages (a leaf is pruned only if its LR
+    is zero in EVERY stage's rows), not per-stage: upstream Adam updates a
+    param group's moments from its grads even while that group's lr is 0
+    (reference src/Mapper.cpp:360-368 — group 5's cam lr is only set at the
+    color stage, but backward fills cam grads every stage), so a leaf that
+    trains at ANY stage must keep its gradient chain in every branch or its
+    moment warmup diverges from upstream. Per-stage cam pruning measurably
+    regressed bench ATE 3.4 -> 9.4 cm through colder BA cam moments.
+    Only leaves with zero LR in all rows are pruned — for those, both the
+    update and the moment trajectory (decay toward 0) are unaffected by
+    pruning up to Adam's eps term, and they never feed back into params.
     """
-    row = pcfg.dec_train[STAGE_ORDER.index(stage)]
+    del stage  # freeze set is pass-wide, identical across switch branches
+    any_train = [
+        any(row[j] for row in pcfg.dec_train) for j in range(len(LEVEL_ORDER))
+    ]
     sg = jax.lax.stop_gradient
     dec = {
-        lvl: sub if row[LEVEL_ORDER.index(lvl)]
+        lvl: sub if any_train[LEVEL_ORDER.index(lvl)]
         else jax.tree_util.tree_map(sg, sub)
         for lvl, sub in params["decoders"].items()
     }
-    cams = (
-        params["cams"]
-        if (pcfg.ba and stage == "color")
-        else sg(params["cams"])
-    )
+    cams = params["cams"] if pcfg.ba else sg(params["cams"])
     return {"grids": params["grids"], "decoders": dec, "cams": cams}
 
 

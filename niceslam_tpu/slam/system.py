@@ -230,7 +230,13 @@ class NiceSLAM:
         """
         cache = self._track_snap_cache
         if cache is None or cache[0] != snap.version:
-            moved = jax.device_put((snap.decoders, snap.grids), device)
+            # bounds/scene_bound were committed to device 0 at init; the
+            # tracker-device executable needs EVERY array argument committed
+            # to its device or jit raises an incompatible-devices error.
+            moved = jax.device_put(
+                (snap.decoders, snap.grids, self.bounds, self.scene_bound),
+                device,
+            )
             self._track_snap_cache = (snap.version, moved)
         return self._track_snap_cache[1]
 
@@ -254,21 +260,22 @@ class NiceSLAM:
                 init = prev
             snap = self._published()
             decs, grds = snap.decoders, snap.grids
+            bnds, sbound = self.bounds, self.scene_bound
             color_j, depth_j = jnp.asarray(frame.color), jnp.asarray(frame.depth)
             key = self._next_key()
             td = self._track_device()
             if td is not None:
                 # PP role split: run this frame's whole tracking program on
                 # the tracker device; only the 4x4 pose returns to device 0.
-                decs, grds = self._track_snapshot(snap, td)
+                decs, grds, bnds, sbound = self._track_snapshot(snap, td)
             color_j, depth_j, init, key = self._commit(
                 (color_j, depth_j, init, key), td
             )
             c2w_j, loss_curve = track_frame(
                 decs,
                 grds,
-                self.bounds,
-                self.scene_bound,
+                bnds,
+                sbound,
                 self.intr,
                 color_j,
                 depth_j,
@@ -502,10 +509,14 @@ class NiceSLAM:
         )
 
     def _make_pcfg(self, mcfg: MapOptConfig) -> ProgConfig:
-        """Static program config shared by the coarse AND staged passes of an
-        event (one compiled program: per-branch backward pruning keys on the
-        stage TABLE, and ``ba`` on the config flag rather than the per-pass
-        gate, so the signature never varies mid-run)."""
+        """Static program config of one pass.
+
+        ``ba`` keys on the PER-PASS gate (mcfg.BA), not the config flag: a
+        BA-off pass then compiles without the camera gradient chain in any
+        branch (the chain costs ~30% of the staged-pass time, and BA only
+        activates once >4 keyframes exist). The one extra signature this
+        introduces (ba flips False->True mid-run) is warmed by precompile()
+        alongside the others, so the flip never stalls the loop."""
         from .mapper import dec_train_table
 
         m = self.cfg.mapping
@@ -513,7 +524,7 @@ class NiceSLAM:
             n_pixels=m.pixels,
             w_color_loss=mcfg.w_color_loss,
             frustum=mcfg.frustum_feature_selection,
-            ba=m.BA,
+            ba=mcfg.BA,
             dec_train=dec_train_table(m.stage_lr, mcfg),
         )
 
@@ -787,9 +798,16 @@ class NiceSLAM:
         the window size F and the refine flags (frustum off)."""
         m = self.cfg.mapping
         W = m.mapping_window_size
-        sigs = [(W, False)]
+        sigs = [(W, False, False)]
+        if m.BA:
+            # pcfg.ba keys on the per-pass gate: the BA-on program (camera
+            # gradient chain present) is a second signature that first runs
+            # mid-sequence, once >4 keyframes exist.
+            sigs.append((W, False, True))
         if m.color_refine:
-            sigs.append((2 * W, True))
+            sigs.append((2 * W, True, False))
+            if m.BA:
+                sigs.append((2 * W, True, True))
         return sigs
 
     def precompile(self):
@@ -828,13 +846,13 @@ class NiceSLAM:
             )
             td = self._track_device()
             if td is not None:
-                d_t, g_t, c_t, dep_t, e_t, k_t = self._commit(
-                    (self.state.decoders, self.state.grids, color1, depth1,
-                     eye, key),
+                d_t, g_t, b_t, s_t, c_t, dep_t, e_t, k_t = self._commit(
+                    (self.state.decoders, self.state.grids, self.bounds,
+                     self.scene_bound, color1, depth1, eye, key),
                     td,
                 )
                 track_frame(
-                    d_t, g_t, self.bounds, self.scene_bound, self.intr,
+                    d_t, g_t, b_t, s_t, self.intr,
                     c_t, dep_t, e_t, k_t, self.tcfg, self.rcfg,
                 )
         # keyframe-selection + frustum-mask helper programs
@@ -846,8 +864,8 @@ class NiceSLAM:
                 k_o, self.intr, e_o, dep_o, col_o, kf_o
             )
 
-        for F, refine in self._precompile_signatures():
-            mcfg = self._make_mcfg(False, refine, 1.0)
+        for F, refine, ba in self._precompile_signatures():
+            mcfg = self._make_mcfg(ba, refine, 1.0)
             plan = self._make_plan(m.iters, False, refine)
             sched_chunks, _ = chunked_schedule(plan, mcfg, m.iters)
             pcfg = self._make_pcfg(mcfg)
