@@ -160,6 +160,26 @@ class ParallelConfig:
 
 
 @dataclass(frozen=True)
+class MeshingConfig:
+    """Offline mesher options (reference config/nice_slam.yaml:16-25 —
+    declared there, read by nothing; implemented in eval/mesher.py)."""
+
+    level_set: float = 0.0
+    resolution: int = 256
+    eval_rec: bool = False
+    # Cull mesh geometry never observed by the trajectory (project every
+    # vertex into each camera; keep faces with a frustum-visible vertex).
+    clean_mesh: bool = True
+    # Additionally require vertices to pass the per-view depth test
+    # (not behind the observed surface by > its depth x (scale - 1)).
+    depth_test: bool = False
+    mesh_coarse_level: bool = False
+    clean_mesh_bound_scale: float = 1.02
+    get_largest_components: bool = False
+    color_mesh_extraction_method: str = "direct_point_query"
+
+
+@dataclass(frozen=True)
 class SLAMConfig:
     """Top-level system config (mirrors config/nice_slam.yaml)."""
 
@@ -185,6 +205,7 @@ class SLAMConfig:
     mapping: MappingConfig = MappingConfig()
     rendering: RenderingConfig = RenderingConfig()
     parallel: ParallelConfig = ParallelConfig()
+    meshing: MeshingConfig = MeshingConfig()
     pretrained_coarse: str = ""
     pretrained_middle_fine: str = ""
 
@@ -197,6 +218,7 @@ _NESTED = {
     "mapping": MappingConfig,
     "rendering": RenderingConfig,
     "parallel": ParallelConfig,
+    "meshing": MeshingConfig,
 }
 
 _KEY_ALIASES = {
@@ -289,7 +311,6 @@ def load_config(
         pd = data.pop("pretrained_decoders")
         data["pretrained_coarse"] = pd.get("coarse", "")
         data["pretrained_middle_fine"] = pd.get("middle_fine", "")
-    data.pop("meshing", None)  # meshing params live in eval/mesher.py call
     data.pop("low_gpu_mem", None)
     return _build(SLAMConfig, data)
 

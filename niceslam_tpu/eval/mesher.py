@@ -196,6 +196,119 @@ def extract_mesh(
     return verts, faces, colors
 
 
+def largest_components(
+    verts: np.ndarray, faces: np.ndarray, colors=None, keep: int = 1
+):
+    """Keep the ``keep`` largest face-connected components.
+
+    Implements the reference's declared-but-unimplemented
+    ``meshing.get_largest_components`` (config/nice_slam.yaml:24): floating
+    blobs hallucinated in never-observed space disconnect from the main
+    surface and are dropped. Union-find over the vertex graph induced by
+    faces.
+    """
+    n = len(verts)
+    parent = np.arange(n)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for f in faces:
+        r0, r1, r2 = find(f[0]), find(f[1]), find(f[2])
+        parent[r1] = r0
+        parent[r2] = r0
+    roots = np.array([find(i) for i in range(n)])
+    face_root = roots[faces[:, 0]]
+    counts = np.bincount(face_root, minlength=n)
+    keep_roots = set(np.argsort(counts)[::-1][:keep].tolist())
+    fmask = np.array([r in keep_roots for r in face_root])
+    return _compact(verts, faces[fmask], colors)
+
+
+def cull_unseen(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors,
+    poses_c2w: np.ndarray,
+    intr,
+    depths: np.ndarray = None,
+    bound_scale: float = 1.02,
+    depth_test: bool = False,
+):
+    """Drop mesh geometry the trajectory never observed.
+
+    The reference declares ``meshing.clean_mesh`` / ``depth_test`` /
+    ``clean_mesh_bound_scale`` (config/nice_slam.yaml:20-23) but implements
+    no mesher; this is the intended behavior: a vertex survives if ANY
+    camera sees it — inside the (slightly enlarged) image frustum, in front
+    of the camera, and (with ``depth_test`` and per-frame depth maps) not
+    farther than the observed surface by more than ``bound_scale``. Faces
+    keep only if all three vertices survive.
+    """
+    poses = np.asarray(poses_c2w, np.float32)
+    v = np.asarray(verts, np.float32)
+    seen = np.zeros(len(v), bool)
+    mw = (bound_scale - 1.0) * intr.W / 2
+    mh = (bound_scale - 1.0) * intr.H / 2
+    for ci in range(len(poses)):
+        if seen.all():
+            break
+        w2c = np.linalg.inv(poses[ci])
+        pc = v @ w2c[:3, :3].T + w2c[:3, 3]
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = intr.fx * pc[:, 0] / z + intr.cx
+            w_ = intr.fy * pc[:, 1] / z + intr.cy
+        ok = (
+            (z > 0)
+            & (u >= -mw) & (u < intr.W + mw)
+            & (w_ >= -mh) & (w_ < intr.H + mh)
+        )
+        if depth_test and depths is not None:
+            ui = np.clip(np.round(u).astype(np.int64), 0, intr.W - 1)
+            wi = np.clip(np.round(w_).astype(np.int64), 0, intr.H - 1)
+            d = np.asarray(depths[ci])[wi, ui]
+            ok &= (d <= 0) | (z <= d * bound_scale)
+        seen |= ok
+    fmask = seen[faces].all(axis=1)
+    return _compact(verts, faces[fmask], colors)
+
+
+def _compact(verts, faces, colors):
+    """Drop vertices unused by ``faces``; remap indices."""
+    used = np.zeros(len(verts), bool)
+    if len(faces):
+        used[faces.ravel()] = True
+    remap = -np.ones(len(verts), np.int64)
+    remap[used] = np.arange(used.sum())
+    verts2 = np.asarray(verts)[used]
+    faces2 = remap[faces] if len(faces) else faces
+    colors2 = None if colors is None else np.asarray(colors)[used]
+    return verts2, faces2, colors2
+
+
+def postprocess_mesh(
+    verts, faces, colors, mcfg, poses_c2w=None, intr=None, depths=None
+):
+    """Apply the reference's meshing.* cleanup options (MeshingConfig)."""
+    if len(faces) == 0:
+        return verts, faces, colors
+    if mcfg.clean_mesh and poses_c2w is not None and intr is not None:
+        verts, faces, colors = cull_unseen(
+            verts, faces, colors, poses_c2w, intr, depths,
+            bound_scale=mcfg.clean_mesh_bound_scale,
+            depth_test=mcfg.depth_test,
+        )
+    if mcfg.get_largest_components and len(faces):
+        verts, faces, colors = largest_components(verts, faces, colors)
+    return verts, faces, colors
+
+
 def write_ply(path: str, verts, faces, colors=None):
     """Minimal ASCII PLY writer (no external mesh deps in the image)."""
     with open(path, "w") as fh:

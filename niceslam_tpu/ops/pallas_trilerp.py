@@ -1,0 +1,460 @@
+"""Pallas TPU kernels for the trilinear grid-sampling hot path.
+
+The XLA production path (ops/trilinear.py trilerp_packed) is ~9x off the
+HBM roofline in the mapping iteration (PERF_r03 §6): the gather lowers to
+per-index DMA traffic from HBM, the scatter-add VJP likewise, and the
+corner-table rebuild streams 14x the grid bytes through XLA concats. These
+kernels attack all three (SURVEY.md §2.1 item 2 — "the #1 custom kernel";
+reference src/models/MLP.cpp:51-63 is the cuDNN grid_sample call being
+replaced):
+
+- ``corner_table_pallas``: fused one-pass construction of the packed
+  corner table ``[Z*Y*X, 8C]`` from the canonical ``[Z, Y, X, C]`` grid.
+  The whole grid sits in VMEM (the hierarchy's largest level is ~5.3 MB,
+  VMEM is 16 MB) and each program instance writes one Z-slab of the table:
+  grid bytes are read ONCE and table bytes written ONCE (vs ~14x traffic
+  through XLA's chained 2C/4C/8C concats).
+- ``gather_rows_pallas``: row gather ``table[idx]`` executed from a
+  VMEM-resident table via Mosaic's dynamic-gather lowering of ``jnp.take``
+  — per-index cost is on-chip, not an HBM DMA round trip.
+- ``trilerp_vmem``: the fused end-to-end sampler (gather + lerp in one
+  kernel), used via custom_vjp with the XLA scatter transpose.
+
+All kernels are shape-static and run under jit; parity is golden-tested
+against ops/trilinear.py in tests/unit/test_pallas_trilerp.py.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _interp(flag):
+    """Resolve an interpret flag: None -> NICESLAM_PALLAS_INTERPRET env
+    (so the custom_vjp production op is testable on the CPU mesh)."""
+    if flag is None:
+        return bool(os.environ.get("NICESLAM_PALLAS_INTERPRET"))
+    return flag
+
+
+# ----------------------------------------------------------- corner table
+def _corner_table_kernel(grid_ref, out_ref, *, zb: int):
+    """Write one Z-slab of the packed corner table.
+
+    ``grid_ref`` is the full ``[Z, Y, X, C]`` grid in VMEM; ``out_ref`` is
+    the ``[zb, Y, X, 8C]`` slab of the table for z in [i*zb, i*zb+zb).
+    Corner order matches ops/trilinear.corner_table: reshaped
+    ``[2(x), 2(y), 2(z), C]`` per row — i.e. channel block index
+    ``b = x1*4 + y1*2 + z1`` holds grid[z+z1, y+y1, x+x1] with
+    edge-replicated +1 neighbors.
+    """
+    i = pl.program_id(0)
+    z0 = i * zb
+    nz, ny, nx, c = grid_ref.shape
+
+    def shift_y(a):
+        # a: [zb, ny, nx, C] -> y+1 with edge replication
+        return jnp.concatenate([a[:, 1:], a[:, ny - 1:]], axis=1)
+
+    def shift_x(a):
+        return jnp.concatenate([a[:, :, 1:], a[:, :, nx - 1:]], axis=2)
+
+    base = grid_ref[pl.ds(z0, zb)]
+    # z+1 slab = rows z0+1 .. z0+zb: the slab's own rows shifted one, plus
+    # the first row of the NEXT slab. pl.ds clamps the start, so for the
+    # final slab (z0+zb == nz) the extra row replicates row nz-1 — exactly
+    # the border convention.
+    nxt = grid_ref[pl.ds(z0 + zb, 1)]
+    z1 = jnp.concatenate([base[1:], nxt], axis=0)
+
+    blocks = []
+    for x1 in (0, 1):
+        for y1 in (0, 1):
+            for zc in (base, z1):
+                a = zc
+                if y1:
+                    a = shift_y(a)
+                if x1:
+                    a = shift_x(a)
+                blocks.append(a)
+    out_ref[:] = jnp.concatenate(blocks, axis=-1).reshape(
+        zb, ny, nx, 8 * c
+    )
+
+
+def corner_table_pallas(grid: jnp.ndarray, zb: int = 0, interpret=None) -> jnp.ndarray:
+    """Packed corner table ``[Z*Y*X, 8C]`` (ops/trilinear.corner_table
+    semantics) in one fused pass. ``zb`` must divide Z; 0 picks the largest
+    divisor <= 8."""
+    nz, ny, nx, c = grid.shape
+    if zb == 0:
+        zb = next(z for z in range(min(8, nz), 0, -1) if nz % z == 0)
+    assert nz % zb == 0, (nz, zb)
+    nblk = nz // zb
+    out = pl.pallas_call(
+        partial(_corner_table_kernel, zb=zb),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx, 8 * c), grid.dtype),
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (zb, ny, nx, 8 * c),
+            lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=_interp(interpret),
+    )(grid)
+    return out.reshape(nz * ny * nx, 8 * c)
+
+
+# ---------------------------------------------------------------- gather
+def _gather_kernel(table_ref, idx_ref, out_ref):
+    out_ref[:] = jnp.take(table_ref[:], idx_ref[:], axis=0)
+
+
+def gather_rows_pallas(
+    table: jnp.ndarray, idx: jnp.ndarray, tn: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``table[idx]`` with the table VMEM-resident.
+
+    ``table [R, W]`` (W = 8C packed rows), ``idx [N]`` int32 -> ``[N, W]``.
+    N is padded to a multiple of ``tn``; each program instance gathers one
+    point tile.
+    """
+    n = idx.shape[0]
+    nblk = _cdiv(n, tn)
+    npad = nblk * tn - n
+    if npad:
+        idx = jnp.concatenate([idx, jnp.zeros((npad,), idx.dtype)])
+    out = pl.pallas_call(
+        _gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((nblk * tn, table.shape[1]), table.dtype),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tn, table.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=_interp(interpret),
+    )(table, idx)
+    return out[:n]
+
+
+# ------------------------------------------------- fused trilerp forward
+def _trilerp_kernel(flat_ref, idx_ref, w_ref, out_ref, *, c: int):
+    """Gather 8 corner rows per point from the canonical flat grid and lerp.
+
+    ``flat_ref [R, C]`` canonical grid rows (VMEM), ``idx_ref [tn, 8]``
+    precomputed corner row indices, ``w_ref [tn, 3]`` (wz, wy, wx).
+    No corner table exists at all on this path.
+    """
+    flat = flat_ref[:]
+    idx = idx_ref[:]
+    wz = w_ref[:, 0:1]
+    wy = w_ref[:, 1:2]
+    wx = w_ref[:, 2:3]
+
+    def g(k):
+        return jnp.take(flat, idx[:, k], axis=0)
+
+    # corner index layout: k = z1*4 + y1*2 + x1
+    c00 = g(0) * (1 - wx) + g(1) * wx
+    c01 = g(2) * (1 - wx) + g(3) * wx
+    c10 = g(4) * (1 - wx) + g(5) * wx
+    c11 = g(6) * (1 - wx) + g(7) * wx
+    c0 = c00 * (1 - wy) + c01 * wy
+    c1 = c10 * (1 - wy) + c11 * wy
+    out_ref[:] = c0 * (1 - wz) + c1 * wz
+
+
+def trilerp_vmem(
+    grid: jnp.ndarray, vz, vy, vx, tn: int = 2048,
+    interpret=None,
+) -> jnp.ndarray:
+    """Fused table-free trilerp: 8 VMEM gathers + lerp in one kernel.
+
+    Matches ops/trilinear.trilerp bit-for-bit (the start=dim-2 border
+    convention used here selects the border corner with weight 1, exactly
+    what clamp/weight-0 yields — see trilerp_packed).
+    """
+    nz, ny, nx, c = grid.shape
+    z0 = jnp.clip(jnp.floor(vz).astype(jnp.int32), 0, nz - 2)
+    y0 = jnp.clip(jnp.floor(vy).astype(jnp.int32), 0, ny - 2)
+    x0 = jnp.clip(jnp.floor(vx).astype(jnp.int32), 0, nx - 2)
+    z1 = z0 + 1
+    y1 = y0 + 1
+    x1 = x0 + 1
+    w = jnp.stack(
+        [vz - z0.astype(vz.dtype), vy - y0.astype(vy.dtype),
+         vx - x0.astype(vx.dtype)],
+        axis=-1,
+    )
+    idx = jnp.stack(
+        [
+            (zz * ny + yy) * nx + xx
+            for zz in (z0, z1)
+            for yy in (y0, y1)
+            for xx in (x0, x1)
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    n = idx.shape[0]
+    nblk = _cdiv(n, tn)
+    npad = nblk * tn - n
+    if npad:
+        idx = jnp.concatenate([idx, jnp.zeros((npad, 8), idx.dtype)])
+        w = jnp.concatenate([w, jnp.zeros((npad, 3), w.dtype)])
+    out = pl.pallas_call(
+        partial(_trilerp_kernel, c=c),
+        out_shape=jax.ShapeDtypeStruct((nblk * tn, c), grid.dtype),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tn, c), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=_interp(interpret),
+    )(grid.reshape(-1, c), idx, w)
+    return out[:n]
+
+
+# --------------------------------------------------- scatter-add (grid VJP)
+def _scatter_pairs_kernel(idx_ref, ct_ref, out_ref, *, tn: int):
+    """Accumulate per-point corner cotangents into the canonical flat grid.
+
+    ``idx_ref [tn, 4]`` — flat start rows of the 4 x-pairs (z,y in {0,1}
+    offsets), each pair writing rows (r, r+1); ``ct_ref [tn, 8, C]`` —
+    cotangents in k = z1*4 + y1*2 + x1 corner order (x-adjacent ks form a
+    pair); ``out_ref [R, C]`` — the full canonical grid accumulator in
+    VMEM, revisited by every program instance (TPU grid steps run
+    sequentially on the core, so += across instances is safe).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(p, _):
+        for j in range(4):
+            r = idx_ref[p, j]
+            out_ref[pl.ds(r, 2), :] += ct_ref[p, 2 * j:2 * j + 2, :]
+        return 0
+
+    jax.lax.fori_loop(0, tn, body, 0, unroll=4)
+
+
+def scatter_corners_pallas(
+    idx4: jnp.ndarray,
+    ct8: jnp.ndarray,
+    r_rows: int,
+    c: int,
+    tn: int = 4096,
+    interpret=None,
+) -> jnp.ndarray:
+    """Scatter-add corner cotangents ``ct8 [N, 8, C]`` into a flat grid
+    ``[r_rows, C]`` at x-pair starts ``idx4 [N, 4]`` (packed border
+    convention: starts always satisfy r+1 < r_rows on the x axis).
+    """
+    n = idx4.shape[0]
+    nblk = _cdiv(n, tn)
+    npad = nblk * tn - n
+    if npad:
+        # pad rows scatter zeros at row 0 — harmless
+        idx4 = jnp.concatenate([idx4, jnp.zeros((npad, 4), idx4.dtype)])
+        ct8 = jnp.concatenate([ct8, jnp.zeros((npad, 8, c), ct8.dtype)])
+    return pl.pallas_call(
+        partial(_scatter_pairs_kernel, tn=tn),
+        out_shape=jax.ShapeDtypeStruct((r_rows, c), ct8.dtype),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((tn, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tn, 8, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (r_rows, c), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=_interp(interpret),
+    )(idx4, ct8)
+
+
+def corner_weights(wz, wy, wx) -> jnp.ndarray:
+    """``[N, 8]`` trilinear corner weights in k = z1*4 + y1*2 + x1 order."""
+    pz = jnp.stack([1 - wz, wz], -1)  # [N, 2]
+    py = jnp.stack([1 - wy, wy], -1)
+    px = jnp.stack([1 - wx, wx], -1)
+    return (
+        pz[:, :, None, None] * py[:, None, :, None] * px[:, None, None, :]
+    ).reshape(wz.shape[0], 8)
+
+
+# ------------------------------------- fused backward (dgrid + coord grads)
+def _trilerp_bwd_kernel(
+    flat_ref, idx_ref, idx4_ref, w_ref, g_ref, dgrid_ref, dw_ref, *, tn: int
+):
+    """One pass: re-gather corners, emit coordinate grads, scatter dgrid.
+
+    Inputs per tile: ``idx_ref [tn, 8]`` corner rows, ``idx4_ref [tn, 4]``
+    x-pair starts, ``w_ref [tn, 3]`` (wz, wy, wx), ``g_ref [tn, C]`` output
+    cotangents. ``dgrid_ref [R, C]`` is revisited (sequential accumulate);
+    ``dw_ref [tn, 3]`` is per-tile.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dgrid_ref[:] = jnp.zeros_like(dgrid_ref)
+
+    flat = flat_ref[:]
+    idx = idx_ref[:]
+    wz = w_ref[:, 0:1]
+    wy = w_ref[:, 1:2]
+    wx = w_ref[:, 2:3]
+    g = g_ref[:]
+
+    def gat(k):
+        return jnp.take(flat, idx[:, k], axis=0)
+
+    c000, c001, c010, c011 = gat(0), gat(1), gat(2), gat(3)
+    c100, c101, c110, c111 = gat(4), gat(5), gat(6), gat(7)
+    # coordinate gradients: dV/dw_axis dotted with g over channels
+    c00 = c000 * (1 - wx) + c001 * wx
+    c01 = c010 * (1 - wx) + c011 * wx
+    c10 = c100 * (1 - wx) + c101 * wx
+    c11 = c110 * (1 - wx) + c111 * wx
+    c0 = c00 * (1 - wy) + c01 * wy
+    c1 = c10 * (1 - wy) + c11 * wy
+    dz = jnp.sum((c1 - c0) * g, axis=-1)
+    dy_ = jnp.sum(((c01 - c00) * (1 - wz) + (c11 - c10) * wz) * g, axis=-1)
+    dx0 = (c001 - c000) * (1 - wy) + (c011 - c010) * wy
+    dx1 = (c101 - c100) * (1 - wy) + (c111 - c110) * wy
+    dx_ = jnp.sum((dx0 * (1 - wz) + dx1 * wz) * g, axis=-1)
+    dw_ref[:] = jnp.stack([dz, dy_, dx_], axis=-1)
+
+    # corner cotangents [tn, 8, C] = w8 x g, then the sequential pair scatter
+    pz = jnp.concatenate([1 - wz, wz], -1)  # [tn, 2]
+    py = jnp.concatenate([1 - wy, wy], -1)
+    px = jnp.concatenate([1 - wx, wx], -1)
+    w8 = (
+        pz[:, :, None, None] * py[:, None, :, None] * px[:, None, None, :]
+    ).reshape(tn, 8)
+    ct = w8[:, :, None] * g[:, None, :]  # [tn, 8, C]
+
+    def body(p, _):
+        for j in range(4):
+            r = idx4_ref[p, j]
+            dgrid_ref[pl.ds(r, 2), :] += ct[p, 2 * j:2 * j + 2, :]
+        return 0
+
+    jax.lax.fori_loop(0, tn, body, 0, unroll=4)
+
+
+def trilerp_bwd_pallas(
+    grid_flat: jnp.ndarray,
+    idx: jnp.ndarray,
+    idx4: jnp.ndarray,
+    w: jnp.ndarray,
+    g: jnp.ndarray,
+    tn: int = 4096,
+    interpret=None,
+):
+    """Fused VJP: returns ``(dgrid_flat [R, C], dw [N, 3])``."""
+    r_rows, c = grid_flat.shape
+    n = idx.shape[0]
+    nblk = _cdiv(n, tn)
+    npad = nblk * tn - n
+    if npad:
+        idx = jnp.concatenate([idx, jnp.zeros((npad, 8), idx.dtype)])
+        idx4 = jnp.concatenate([idx4, jnp.zeros((npad, 4), idx4.dtype)])
+        w = jnp.concatenate([w, jnp.zeros((npad, 3), w.dtype)])
+        g = jnp.concatenate([g, jnp.zeros((npad, c), g.dtype)])
+    dgrid, dw = pl.pallas_call(
+        partial(_trilerp_bwd_kernel, tn=tn),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_rows, c), grid_flat.dtype),
+            jax.ShapeDtypeStruct((nblk * tn, 3), w.dtype),
+        ),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tn, grid_flat.shape[1]), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (r_rows, c), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tn, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interp(interpret),
+    )(grid_flat, idx, idx4, w, g)
+    return dgrid, dw[:n]
+
+
+# --------------------------------------------- custom_vjp production op
+def _corner_indices(grid_shape3, vz, vy, vx):
+    nz, ny, nx = grid_shape3
+    z0 = jnp.clip(jnp.floor(vz).astype(jnp.int32), 0, nz - 2)
+    y0 = jnp.clip(jnp.floor(vy).astype(jnp.int32), 0, ny - 2)
+    x0 = jnp.clip(jnp.floor(vx).astype(jnp.int32), 0, nx - 2)
+    w = jnp.stack(
+        [vz - z0.astype(vz.dtype), vy - y0.astype(vy.dtype),
+         vx - x0.astype(vx.dtype)], axis=-1,
+    )
+    idx = jnp.stack(
+        [((z0 + dz) * ny + (y0 + dy)) * nx + (x0 + dx)
+         for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+        axis=-1,
+    ).astype(jnp.int32)
+    idx4 = idx[:, 0::2]  # x-pair starts (k even = x offset 0)
+    return idx, idx4, w
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def trilerp_pallas(grid, vz, vy, vx):
+    """Production fused sampler: Pallas fwd + fused Pallas VJP.
+
+    Drop-in for ops/trilinear's packed path (same values, same grid/coord
+    gradients on non-degenerate points); enabled via
+    ops.trilinear.use_pallas().
+    """
+    return trilerp_vmem(grid, vz, vy, vx)
+
+
+def _trilerp_pallas_fwd(grid, vz, vy, vx):
+    return trilerp_vmem(grid, vz, vy, vx), (grid, vz, vy, vx)
+
+
+def _trilerp_pallas_bwd(res, gout):
+    grid, vz, vy, vx = res
+    nz, ny, nx, c = grid.shape
+    idx, idx4, w = _corner_indices((nz, ny, nx), vz, vy, vx)
+    dflat, dw = trilerp_bwd_pallas(
+        grid.reshape(-1, c), idx, idx4, w, gout
+    )
+    return dflat.reshape(grid.shape), dw[:, 0], dw[:, 1], dw[:, 2]
+
+
+trilerp_pallas.defvjp(_trilerp_pallas_fwd, _trilerp_pallas_bwd)

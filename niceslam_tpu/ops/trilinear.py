@@ -29,10 +29,21 @@ WORSE and is kept only as a documented negative result.
 """
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
+
+
+def use_pallas() -> bool:
+    """Trace-time switch for the fused Pallas sampler (ops/pallas_trilerp).
+
+    Enabled with NICESLAM_PALLAS=1 (default off until the kernel beats the
+    packed-gather XLA path on the target chip — scripts/kernel_bench.py
+    --pallas measures both).
+    """
+    return os.environ.get("NICESLAM_PALLAS", "") not in ("", "0")
 
 # Trace-time sampler override: the Z-sharded mapping program
 # (parallel/sharded_mapper.py) swaps in a halo-exchange sampler for the
@@ -242,4 +253,8 @@ def sample_grid(
     if _SAMPLER_OVERRIDE is not None:
         return _SAMPLER_OVERRIDE(grid, pts, bound)
     vz, vy, vx = voxel_coords(pts, bound, grid.shape[:3])
+    if use_pallas():
+        from .pallas_trilerp import trilerp_pallas
+
+        return trilerp_pallas(grid, vz, vy, vx)
     return trilerp_packed(corner_table(grid), grid.shape[:3], vz, vy, vx)

@@ -88,16 +88,29 @@ class ProgConfig(NamedTuple):
     differentiated per-stage only where the LR table can be nonzero. Both
     passes of an event share one table, so coarse + staged still execute ONE
     compiled program — the coarse rows just run the cheap coarse branch.
+
+    ``dec_train`` is REQUIRED (no default): an all-False table silently
+    freezes every decoder, so callers must state the trainability table
+    explicitly — dec_train_table(stage_lr, mcfg) for the driver's table,
+    dec_train_from_plan(plan, mcfg) for a pass plan, or
+    FROZEN_DECODERS for a deliberately all-frozen probe program
+    (VERDICT r3 weak #8).
     """
 
-    n_pixels: int = 1000
-    w_color_loss: float = 0.2
-    frustum: bool = True
-    ba: bool = False
+    n_pixels: int
+    w_color_loss: float
+    frustum: bool
     # [stage][level] decoder trainability, STAGE_ORDER x LEVEL_ORDER.
-    dec_train: Tuple[Tuple[bool, bool, bool, bool], ...] = (
-        ((False,) * 4,) * 4
-    )
+    dec_train: Tuple[Tuple[bool, bool, bool, bool], ...]
+    ba: bool = False
+
+
+# Explicit all-frozen decoder table for probe/bench programs that measure
+# the grids-only backward (every production caller derives the table from
+# the stage-LR config instead).
+FROZEN_DECODERS: Tuple[Tuple[bool, bool, bool, bool], ...] = (
+    ((False,) * 4,) * 4
+)
 
 
 class Schedule(NamedTuple):
@@ -486,11 +499,22 @@ def freeze_for_stage(params, stage: str, pcfg: ProgConfig):
     (reference src/Mapper.cpp:360-368 — group 5's cam lr is only set at the
     color stage, but backward fills cam grads every stage), so a leaf that
     trains at ANY stage must keep its gradient chain in every branch or its
-    moment warmup diverges from upstream. Per-stage cam pruning measurably
-    regressed bench ATE 3.4 -> 9.4 cm through colder BA cam moments.
-    Only leaves with zero LR in all rows are pruned — for those, both the
-    update and the moment trajectory (decay toward 0) are unaffected by
-    pruning up to Adam's eps term, and they never feed back into params.
+    moment warmup diverges from upstream. Only leaves with zero LR in all
+    rows are pruned — for those, both the update and the moment trajectory
+    (decay toward 0) are unaffected by pruning up to Adam's eps term, and
+    they never feed back into params.
+
+    NOTE (r4): an earlier revision of this docstring attributed the r3
+    bench-ATE regression (3.4 -> 9.4 cm) to per-stage cam pruning via
+    colder BA cam moments. r4 bisect probes disproved that: the per-stage
+    and union variants bench BIT-IDENTICALLY at the 36-frame budget (BA
+    first activates at the final event — keyframe_every=10 reaches the
+    >4-keyframe gate at frame 34), and equally "equivalent-math" perf
+    commits moved ATE 5.1->3.4 and 3.4->9.4. At the frozen-random-decoder
+    operating point the trajectory is chaotically sensitive to
+    rounding-level program changes; the union freeze is kept for upstream
+    moment fidelity on long runs where BA is actually live (see PERF_r04.md
+    for the measurements).
     """
     del stage  # freeze set is pass-wide, identical across switch branches
     any_train = [

@@ -93,12 +93,25 @@ def main():
     from niceslam_tpu.utils.profiling import trace
 
     def dump_mesh(path):
-        from niceslam_tpu.eval.mesher import extract_mesh, write_ply
+        from niceslam_tpu.eval.mesher import (
+            extract_mesh, postprocess_mesh, write_ply,
+        )
 
+        mcfg = cfg.meshing
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         verts, faces, colors = extract_mesh(
             slam.state.decoders, slam.state.grids, slam.bounds,
             slam.scene_bound, resolution=args.mesh_resolution,
+            level=mcfg.level_set,
+        )
+        # Upstream meshing.* cleanup (clean_mesh / depth_test /
+        # get_largest_components — reference config/nice_slam.yaml:16-25),
+        # against the estimated trajectory.
+        poses = [np.asarray(p, np.float32) for p in slam.est_c2w]
+        verts, faces, colors = postprocess_mesh(
+            verts, faces, colors, mcfg,
+            poses_c2w=np.asarray(poses) if poses else None,
+            intr=slam.intr,
         )
         write_ply(path, verts, faces, colors)
         return len(verts), len(faces)

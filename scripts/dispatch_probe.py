@@ -58,7 +58,7 @@ def main():
     from niceslam_tpu.render.renderer import RenderConfig
     from niceslam_tpu.slam import keyframes as kf_mod
     from niceslam_tpu.slam.mapper import (
-        MapOptConfig, ProgConfig, build_stage_plan, chunked_schedule,
+        FROZEN_DECODERS, MapOptConfig, ProgConfig, build_stage_plan, chunked_schedule,
         init_opt_state, mapping_loss, run_schedule,
     )
     from niceslam_tpu.config.schema import MappingConfig
@@ -81,7 +81,8 @@ def main():
     }
     m = MappingConfig()
     mcfg = MapOptConfig(frustum_feature_selection=True)
-    pcfg = ProgConfig(n_pixels=1000, w_color_loss=0.2, frustum=True)
+    pcfg = ProgConfig(n_pixels=1000, w_color_loss=0.2, frustum=True,
+                      dec_train=FROZEN_DECODERS)
 
     # ---- 1) overlap selection: fixed overhead or genuine? ----------------
     kf_c2w = jnp.tile(jnp.eye(4, dtype=jnp.float32), (64, 1, 1))

@@ -191,6 +191,107 @@ def main():
                cost=roofline.render_cost(n_rays, 48, 32, gb, backward=True),
                peaks=peaks)
 
+    if "--pallas" in sys.argv:
+        pallas_section(grids, bounds, pts, peaks)
+
+
+def pallas_section(grids, bounds, pts, peaks):
+    """Pallas candidates vs their XLA baselines at production shapes
+    (VERDICT r3 ask #4). Each op reports its XLA twin alongside."""
+    from niceslam_tpu.ops.pallas_trilerp import (
+        corner_table_pallas,
+        corner_weights,
+        gather_rows_pallas,
+        scatter_corners_pallas,
+        trilerp_vmem,
+    )
+    from niceslam_tpu.ops.trilinear import corner_table, voxel_coords
+    from niceslam_tpu.utils import roofline
+
+    key = jax.random.PRNGKey(7)
+    N = pts.shape[0]
+    for lvl in ("middle", "fine"):
+        g, b = grids[lvl], bounds[lvl]
+        nz, ny, nx, c = g.shape
+        table_bytes = g.size * 8 * 4
+
+        # corner-table construction: XLA concats vs fused pallas
+        def ct_xla(i, g):
+            return corner_table(g + i * 1e-6).sum()
+
+        m, p50 = timeit_scanned(ct_xla, g)
+        report(f"corner_table_xla_{lvl}", g.size, m, p50,
+               cost={"flops": 0, "bytes": g.size * 4 + table_bytes},
+               peaks=peaks)
+
+        def ct_pl(i, g):
+            return corner_table_pallas(g + i * 1e-6).sum()
+
+        m, p50 = timeit_scanned(ct_pl, g)
+        report(f"corner_table_pallas_{lvl}", g.size, m, p50,
+               cost={"flops": 0, "bytes": g.size * 4 + table_bytes},
+               peaks=peaks)
+
+        # row gather from the packed table: XLA take vs pallas VMEM gather
+        vz, vy, vx = voxel_coords(pts, b, (nz, ny, nx))
+        z0 = jnp.clip(jnp.floor(vz).astype(jnp.int32), 0, nz - 2)
+        y0 = jnp.clip(jnp.floor(vy).astype(jnp.int32), 0, ny - 2)
+        x0 = jnp.clip(jnp.floor(vx).astype(jnp.int32), 0, nx - 2)
+        idx = (z0 * ny + y0) * nx + x0
+        table = corner_table(g)
+        gbytes = N * 8 * c * 4
+
+        def take_xla(i, table, idx):
+            return jnp.take(table, idx + (i % 2), axis=0).sum()
+
+        m, p50 = timeit_scanned(take_xla, table, idx)
+        report(f"gather8C_xla_{lvl}", N, m, p50,
+               {"GBps": round(gbytes / (p50 * 1e6), 2)},
+               cost={"flops": 0, "bytes": gbytes}, peaks=peaks)
+
+        def take_pl(i, table, idx):
+            return gather_rows_pallas(table, idx + (i % 2)).sum()
+
+        m, p50 = timeit_scanned(take_pl, table, idx)
+        report(f"gather8C_pallas_{lvl}", N, m, p50,
+               {"GBps": round(gbytes / (p50 * 1e6), 2)},
+               cost={"flops": 0, "bytes": gbytes}, peaks=peaks)
+
+        # fused table-free trilerp fwd vs the XLA packed path
+        def tri_pl(i, g, vz, vy, vx):
+            return trilerp_vmem(g, vz + i * 1e-6, vy, vx).sum()
+
+        m, p50 = timeit_scanned(tri_pl, g, vz, vy, vx)
+        report(f"trilerp_fused_pallas_{lvl}", N, m, p50,
+               cost=roofline.trilinear_cost(N, c, g.size * 4), peaks=peaks)
+
+        # scatter-add VJP: XLA take-transpose vs pallas pair scatter
+        gct = jax.random.normal(key, (N, c))
+        w8 = corner_weights(vz - z0, vy - y0, vx - x0)
+        ct8 = w8[:, :, None] * gct[:, None, :]
+        idx4 = jnp.stack(
+            [((z0 + dz) * ny + (y0 + dy)) * nx + x0
+             for dz in (0, 1) for dy in (0, 1)], axis=-1,
+        ).astype(jnp.int32)
+        ct_packed = ct8.reshape(N, 8 * c)
+
+        def sc_xla(i, ct_packed, idx):
+            z = jnp.zeros((table.shape[0], 8 * c), ct_packed.dtype)
+            return z.at[idx].add(ct_packed + i * 1e-6).sum()
+
+        m, p50 = timeit_scanned(sc_xla, ct_packed, idx)
+        report(f"scatter_xla_table_{lvl}", N, m, p50,
+               cost={"flops": 0, "bytes": 2 * gbytes}, peaks=peaks)
+
+        def sc_pl(i, ct8, idx4):
+            return scatter_corners_pallas(
+                idx4, ct8 + i * 1e-6, nz * ny * nx, c
+            ).sum()
+
+        m, p50 = timeit_scanned(sc_pl, ct8, idx4)
+        report(f"scatter_pallas_{lvl}", N, m, p50,
+               cost={"flops": 0, "bytes": 2 * gbytes}, peaks=peaks)
+
 
 if __name__ == "__main__":
     main()

@@ -45,7 +45,7 @@ def main():
     from niceslam_tpu.models.decoders import DecoderConfig, init_decoders
     from niceslam_tpu.render.renderer import RenderConfig
     from niceslam_tpu.slam.mapper import (
-        MapOptConfig, ProgConfig, build_stage_plan, chunked_schedule,
+        FROZEN_DECODERS, MapOptConfig, ProgConfig, build_stage_plan, chunked_schedule,
         init_opt_state, run_schedule,
     )
     from niceslam_tpu.config.schema import MappingConfig
@@ -68,7 +68,8 @@ def main():
     }
     m = MappingConfig()
     mcfg = MapOptConfig(frustum_feature_selection=True)
-    pcfg = ProgConfig(n_pixels=1000, w_color_loss=0.2, frustum=True)
+    pcfg = ProgConfig(n_pixels=1000, w_color_loss=0.2, frustum=True,
+                      dec_train=FROZEN_DECODERS)
     plan = build_stage_plan(m.iters, 0.4, 0.6, m.stage_lr, coarse=args.coarse)
     chunks, _ = chunked_schedule(plan, mcfg, m.iters)
     opt0 = init_opt_state({"grids": grids, "decoders": params, "cams": cams})
