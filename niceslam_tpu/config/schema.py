@@ -42,6 +42,14 @@ class TrackingConfig:
     handle_dynamic: bool = True
     w_color_loss: float = 0.5
     seperate_LR: bool = False  # (sic) upstream key spelling preserved in YAML
+    # Absolute depth-residual outlier gate [m]; 0 disables (see
+    # slam/tracker.py TrackConfig.depth_err_gate).
+    depth_err_gate: float = 0.3
+    # Pose solver: "gn" (Gauss-Newton/IRLS, framework-native) or "adam"
+    # (the reference's first-order loop). See slam/tracker.py.
+    method: str = "gn"
+    gn_prior_sigma_r: float = 0.02
+    gn_prior_sigma_t: float = 0.03
     const_speed_assumption: bool = True
     gt_camera: bool = False
     lr: float = 0.001
@@ -71,11 +79,24 @@ class MappingConfig:
     every_frame: int = 5
     BA: bool = True
     BA_cam_lr: float = 0.001
+    # BA activates once MORE THAN this many keyframes exist (upstream gate
+    # src/Mapper.cpp:519 is a hard-coded 4). Lowering it lets the mapper
+    # refine the tracked pose against the already-anchored map from the
+    # first keyframed event on — the only mechanism that corrects tracker
+    # drift before it is baked into the map.
+    BA_min_keyframes: int = 4
+    # Map every frame while idx < bootstrap_frames (0 = off). See
+    # slam/system.py step(): bridges the single-view init map to the first
+    # regular mapping events without letting tracker drift bake in.
+    bootstrap_frames: int = 0
     fix_fine: bool = True
     fix_color: bool = False
     keyframe_every: int = 50
     mapping_window_size: int = 5
     w_color_loss: float = 0.2
+    # Grid feature-smoothness (TV) weight (slam/mapper.py
+    # ProgConfig.tv_weight); 0 disables.
+    tv_weight: float = 0.0
     frustum_feature_selection: bool = True
     keyframe_selection_method: str = "overlap"
     lr_first_factor: float = 5.0

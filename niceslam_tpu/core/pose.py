@@ -135,12 +135,68 @@ def invert_pose(c2w: jnp.ndarray) -> jnp.ndarray:
     return to_homogeneous(inv34)
 
 
-def constant_speed_warm_start(prev: jnp.ndarray, prev2: jnp.ndarray) -> jnp.ndarray:
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) exponential map: twist ``[6]`` (omega, v) -> ``[4, 4]`` transform.
+
+    Rodrigues with Taylor fallbacks near theta=0 (branch-free ``where`` so it
+    jits and differentiates cleanly at the identity — the Gauss-Newton
+    tracker linearizes exactly there). No reference equivalent (the
+    reference optimizes a global quaternion+translation tensor with Adam);
+    the local twist parametrization keeps the tracker's normal equations
+    well-conditioned around the warm start.
+    """
+    w, v = xi[:3], xi[3:]
+    th2 = jnp.sum(w * w)
+    th = jnp.sqrt(jnp.maximum(th2, 1e-24))
+    small = th2 < 1e-12
+    A = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    B = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / th2)
+    C = jnp.where(small, 1.0 / 6.0 - th2 / 120.0, (1.0 - A) / th2)
+    K = jnp.array(
+        [
+            [0.0, -w[2], w[1]],
+            [w[2], 0.0, -w[0]],
+            [-w[1], w[0], 0.0],
+        ]
+    )
+    K2 = K @ K
+    I = jnp.eye(3, dtype=xi.dtype)
+    R = I + A * K + B * K2
+    V = I + B * K + C * K2
+    top = jnp.concatenate([R, (V @ v)[:, None]], axis=-1)
+    return to_homogeneous(top)
+
+
+def constant_speed_warm_start(
+    prev: jnp.ndarray,
+    prev2: jnp.ndarray,
+    max_t: float = 0.15,
+    max_angle: float = 0.3,
+) -> jnp.ndarray:
     """Constant-velocity motion model: extrapolate the next c2w from the last two.
 
     The intent behind the reference's `const_speed_assumption: True`
     (config/nice_slam.yaml:37) that src/Tracker.cpp:99-100 left as "TO DO"
     (SURVEY.md §2.9.10): ``next = prev @ inv(prev2) @ prev``.
+
+    The extrapolated delta is clamped to a physical per-frame motion bound
+    (``max_t`` meters, ``max_angle`` radians): if one frame's estimate is
+    off by e, naive extrapolation starts the next frame 2e off — an
+    unstable doubling that can run the estimate to infinity in a dozen
+    frames. Clamping bounds the warm-start error at the motion scale the
+    tracker's basin of attraction actually covers.
     """
     delta = prev @ invert_pose(prev2)
-    return delta @ prev
+    R, t = delta[:3, :3], delta[:3, 3]
+    tn = jnp.linalg.norm(t)
+    t = t * jnp.minimum(1.0, max_t / (tn + 1e-12))
+    q = rotation_to_quat(R)
+    half = jnp.arccos(jnp.clip(q[0], -1.0, 1.0))  # theta/2
+    axis = q[1:] / jnp.maximum(jnp.linalg.norm(q[1:]), 1e-12)
+    half_c = jnp.minimum(half, max_angle / 2.0)
+    q_c = jnp.concatenate([jnp.cos(half_c)[None], jnp.sin(half_c) * axis])
+    Rc = quat_to_rotation(q_c)
+    delta_c = to_homogeneous(
+        jnp.concatenate([Rc, t[:, None]], axis=-1)
+    )
+    return delta_c @ prev

@@ -73,6 +73,7 @@ class MapOptConfig(NamedTuple):
     # upstream LR table fall back to `decoders_lr_fallback`.
     train_all_decoders: bool = False
     decoders_lr_fallback: float = 0.005
+    tv_weight: float = 0.0  # grid smoothness (ProgConfig.tv_weight)
 
 
 class ProgConfig(NamedTuple):
@@ -103,6 +104,16 @@ class ProgConfig(NamedTuple):
     # [stage][level] decoder trainability, STAGE_ORDER x LEVEL_ORDER.
     dec_train: Tuple[Tuple[bool, bool, bool, bool], ...]
     ba: bool = False
+    # Grid feature-smoothness (TV) weight. Ray supervision constrains the
+    # map only along sampled rays; between/beyond them the trilinear field
+    # is free, which shows up as novel-view depth error (measured: p50
+    # ~3 cm but a 10-15% tail of 20-80 cm one frame beyond the mapped
+    # views) that the tracker then chases. Squared forward-difference TV on
+    # the middle/fine feature volumes makes the off-ray field interpolate
+    # instead of wiggle; cost is one elementwise pass over the grids per
+    # iteration, negligible next to the ray gathers. No reference
+    # equivalent (the reference's map has the same freedom, unregularized).
+    tv_weight: float = 0.0
 
 
 # Explicit all-frozen decoder table for probe/bench programs that measure
@@ -338,6 +349,7 @@ def mapping_loss(
     rcfg: RenderConfig,
     n_pixels: int,
     ray_shard=None,  # (traced start, static size): evaluate a slice only
+    tv_weight: float = 0.0,
 ):
     """One joint-iteration loss over the keyframe window.
 
@@ -406,6 +418,19 @@ def mapping_loss(
             jnp.abs(flat.gt_color - out.rgb) * ray_w[:, None]
         )
         loss = loss + w_color_loss * closs
+    if tv_weight > 0.0:
+        # Squared forward-difference smoothness on the geometry feature
+        # volumes (see ProgConfig.tv_weight). Geometry levels only: color
+        # texture may legitimately be high-frequency.
+        tv = 0.0
+        for lvl in ("middle", "fine"):
+            g = grids[lvl]
+            tv = tv + (
+                jnp.mean(jnp.square(g[1:] - g[:-1]))
+                + jnp.mean(jnp.square(g[:, 1:] - g[:, :-1]))
+                + jnp.mean(jnp.square(g[:, :, 1:] - g[:, :, :-1]))
+            )
+        loss = loss + tv_weight * tv
     return loss
 
 
@@ -444,6 +469,7 @@ def _scan_step(
                 freeze_for_stage(p, stage, pcfg), bounds, scene_bound, intr,
                 colors, depths, frame_valid, cam_fixed, k, stage,
                 pcfg.w_color_loss, rcfg, pcfg.n_pixels,
+                tv_weight=pcfg.tv_weight,
             )
 
         return f
@@ -642,6 +668,7 @@ def optimize_window(
         frustum=cfg.frustum_feature_selection,
         ba=cfg.BA,
         dec_train=dec_train_from_plan(plan, cfg),
+        tv_weight=cfg.tv_weight,
     )
     opt_state = init_opt_state(
         {"grids": grids, "decoders": decoders, "cams": cam_tensors}

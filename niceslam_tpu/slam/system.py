@@ -141,6 +141,10 @@ class NiceSLAM:
             use_color=t.use_color_in_tracking,
             w_color_loss=t.w_color_loss,
             handle_dynamic=t.handle_dynamic,
+            depth_err_gate=t.depth_err_gate,
+            method=t.method,
+            gn_prior_sigma_r=t.gn_prior_sigma_r,
+            gn_prior_sigma_t=t.gn_prior_sigma_t,
             ignore_edge_H=t.ignore_edge_H,
             ignore_edge_W=t.ignore_edge_W,
         )
@@ -475,7 +479,15 @@ class NiceSLAM:
             self._event_passes = []
 
         # Keyframe admission (src/Mapper.cpp:537-550 / upstream).
-        if (idx % m.keyframe_every == 0 or idx == self.n_imgs - 2) and not self._is_keyframe(idx):
+        # Bootstrap frames are all keyframed: until the second regular
+        # keyframe exists the window would otherwise hold only {kf0, cur},
+        # so views between events are forgotten and the early map degrades
+        # with distance from frame 0 (see bootstrap_frames).
+        if (
+            idx % m.keyframe_every == 0
+            or idx < m.bootstrap_frames
+            or idx == self.n_imgs - 2
+        ) and not self._is_keyframe(idx):
             gt = self.gt_c2w[-1]
             self.state = self.state._replace(
                 keyframes=add_keyframe(
@@ -552,6 +564,7 @@ class NiceSLAM:
             frustum=mcfg.frustum_feature_selection,
             ba=mcfg.BA,
             dec_train=dec_train_table(m.stage_lr, mcfg),
+            tv_weight=m.tv_weight,
         )
 
     def _make_plan(self, iters: int, coarse: bool, refine: bool):
@@ -616,7 +629,7 @@ class NiceSLAM:
         # BA gate per src/Mapper.cpp:519 — >4 keyframes, enabled, not the
         # coarse mapper. The refine outer passes keep BA live too (:519 is
         # re-evaluated inside the refine loop; pose write-back :521-522).
-        ba = m.BA and self._kf_count > 4 and not coarse
+        ba = m.BA and self._kf_count > m.BA_min_keyframes and not coarse
         if ba:
             fixed[:] = ~valid
             if oldest is not None:
@@ -1000,7 +1013,20 @@ class NiceSLAM:
         )
         with self.timer.section("track"), annotate("track"):
             self.track(frame)
-        if first or (idx % self.cfg.mapping.every_frame == 0) or idx == self.n_imgs - 1:
+        # Bootstrap phase: for the first `bootstrap_frames` frames, map EVERY
+        # frame. The init map is fit to frame 0's rays only; its novel-view
+        # error grows with view distance, so by the second every_frame-th
+        # event the tracked pose error is already several cm and gets baked
+        # into the map (measured: the frame 3-7 segment dominates final
+        # ATE). Re-anchoring each early frame keeps tracking against an
+        # in-distribution map for a total of (bootstrap-1) * iters extra
+        # iterations — a few percent of the init pass budget.
+        if (
+            first
+            or idx < self.cfg.mapping.bootstrap_frames
+            or (idx % self.cfg.mapping.every_frame == 0)
+            or idx == self.n_imgs - 1
+        ):
             with self.timer.section("map"), annotate("map"):
                 self.map_frame(frame, first=first)
         if (

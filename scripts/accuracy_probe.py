@@ -41,6 +41,16 @@ def main():
     ap.add_argument("--track-wcolor", type=float, default=0.5)
     ap.add_argument("--no-color-track", action="store_true")
     ap.add_argument("--no-dynamic", action="store_true")
+    ap.add_argument("--depth-gate", type=float, default=0.3)
+    ap.add_argument("--track-method", default="gn", choices=["gn", "adam"])
+    ap.add_argument("--gn-prior-r", type=float, default=0.02)
+    ap.add_argument("--gn-prior-t", type=float, default=0.03)
+    ap.add_argument("--tv", type=float, default=0.0,
+                    help="mapping.tv_weight grid smoothness")
+    ap.add_argument("--ba-min", type=int, default=4,
+                    help="mapping.BA_min_keyframes gate")
+    ap.add_argument("--bootstrap", type=int, default=0,
+                    help="mapping.bootstrap_frames")
     ap.add_argument("--separate-lr", action="store_true")
     ap.add_argument("--map-pixels", type=int, default=1000)
     ap.add_argument("--map-iters", type=int, default=60)
@@ -84,6 +94,10 @@ def main():
             w_color_loss=args.track_wcolor,
             use_color_in_tracking=not args.no_color_track,
             handle_dynamic=not args.no_dynamic,
+            depth_err_gate=args.depth_gate,
+            method=args.track_method,
+            gn_prior_sigma_r=args.gn_prior_r,
+            gn_prior_sigma_t=args.gn_prior_t,
             seperate_LR=args.separate_lr,
         ),
         mapping=MappingConfig(
@@ -96,7 +110,10 @@ def main():
             max_keyframes=64,
             color_refine=False,
             BA=not args.no_ba,
+            BA_min_keyframes=args.ba_min,
+            bootstrap_frames=args.bootstrap,
             decoder_train=args.decoder_train,
+            tv_weight=args.tv,
         ),
         coarse=not args.no_coarse,
         verbose=False,
@@ -134,6 +151,7 @@ def main():
             "mean": round(100 * float(rpe.mean()), 3),
             "p90": round(100 * float(np.percentile(rpe, 90)), 3),
         },
+        "t_err_curve_cm": [round(100 * float(e), 2) for e in terr],
         "variant": {
             "gt_camera": args.gt_camera,
             "decoder_train": args.decoder_train,

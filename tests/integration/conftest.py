@@ -79,3 +79,34 @@ def gt_mapped_world():
     slam = NiceSLAM(cfg, reader=reader)
     slam.run(5)
     return cfg, reader, slam
+
+
+@pytest.fixture(scope="session")
+def pretrained_mapped_world():
+    """Like gt_mapped_world but with the shipped pretrained decoders.
+
+    The pretrain envelope includes tiny_config's bound, so the checked-in
+    artifact loads directly; the resulting map has calibrated (responsive)
+    occupancy transitions — the regime the GN tracker is designed for."""
+    import dataclasses
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cfg = tiny_config(gt_camera=True)
+    cfg = dataclasses.replace(
+        cfg,
+        pretrained_middle_fine=os.path.join(
+            root, "models", "pretrained_decoders.npz"
+        ),
+        mapping=dataclasses.replace(
+            cfg.mapping, pixels=384, iters_first=240, iters=40
+        ),
+    )
+    reader = SyntheticBoxReader(
+        cfg, n_frames=5,
+        trajectory_kwargs=dict(radius=0.5, arc_fraction=0.8, height_amp=0.2),
+    )
+    slam = NiceSLAM(cfg, reader=reader)
+    slam.run(5)
+    return cfg, reader, slam
