@@ -79,7 +79,7 @@ def main():
             # default here admits keyframes 5x more often because the bench
             # trajectory (36-frame orbit) revisits nothing — at 50 the
             # window would hold <2 keyframes for the whole run. BENCH_KF=50
-            # records the reference-budget number alongside (PERF_r04).
+            # records the reference-budget number alongside (PERF_r05.md).
             keyframe_every=int(os.environ.get("BENCH_KF", "10")),
             mapping_window_size=5,
             max_keyframes=64,

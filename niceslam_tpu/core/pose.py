@@ -91,8 +91,13 @@ def rotation_to_quat(R: jnp.ndarray) -> jnp.ndarray:
         jnp.where(cond1[..., None], q1, jnp.where(cond2[..., None], q2, q3)),
     )
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
-    # Canonicalize sign (w >= 0) so round-trips are unique.
-    return q * jnp.sign(jnp.where(q[..., :1] == 0.0, 1.0, q[..., :1]))
+    # Canonicalize sign (w >= 0) so round-trips are unique. A strict < test
+    # (not sign()-multiplication) keeps w == -0.0 — a 180-degree rotation —
+    # on the +w branch deterministically: both signs encode the same
+    # rotation, but constant_speed_warm_start reads q[0] as cos(theta/2),
+    # and a negated quaternion there reads as theta ~= 2*pi and defeats the
+    # max_angle clamp.
+    return jnp.where(q[..., :1] < 0.0, -q, q)
 
 
 def camera_from_tensor(cam: jnp.ndarray) -> jnp.ndarray:

@@ -14,14 +14,36 @@ replaced):
   VMEM is 16 MB) and each program instance writes one Z-slab of the table:
   grid bytes are read ONCE and table bytes written ONCE (vs ~14x traffic
   through XLA's chained 2C/4C/8C concats).
-- ``gather_rows_pallas``: row gather ``table[idx]`` executed from a
-  VMEM-resident table via Mosaic's dynamic-gather lowering of ``jnp.take``
-  — per-index cost is on-chip, not an HBM DMA round trip.
+- ``gather_rows_pallas``: row gather ``table[idx]`` from a VMEM-resident
+  table via ``jnp.take``.
 - ``trilerp_vmem``: the fused end-to-end sampler (gather + lerp in one
-  kernel), used via custom_vjp with the XLA scatter transpose.
+  kernel), used via custom_vjp with the fused Pallas backward.
+
+MEASURED OUTCOME on real v5e Mosaic (round 5, KERNEL_r05.json — a recorded
+negative result, kept with interpreter-mode parity tests as the baseline
+any future kernel must beat):
+
+- ``corner_table_pallas`` compiles and runs 3-7% faster than the XLA
+  concat path (0.76 vs 0.81 ms middle, 0.84 vs 0.87 ms fine) — noise-level.
+- ``gather_rows_pallas`` / ``trilerp_vmem`` CANNOT LOWER: Mosaic's
+  ``lax.gather`` rule supports only take_along_axis-shaped patterns
+  (input/indices/output all [R, W]); an arbitrary [N]-index row gather
+  from VMEM has no primitive ("Shape mismatch in input, indices and
+  output", jax/_src/pallas/mosaic/lowering.py _gather_lowering_rule).
+- ``scatter_corners_pallas`` / ``trilerp_bwd_pallas`` crash the Mosaic
+  compiler (remote tpu_compile_helper exit 1) on the 4096-iteration
+  sequential ``fori_loop`` of dynamic 2-row accumulates — exactly the
+  serial-accumulate pattern VERDICT r4 flagged as suspect.
+- A one-hot MXU matmul gather was evaluated analytically and loses: at
+  C=32 the bf16 flops (2*N*R*C) already cost ~0.7 ms for the middle level
+  (R=5.9k) — parity at best, 8x worse for fine (R=48k).
+
+XLA's hardware-DMA gather/scatter (47-52 GB/s effective at 48k x 1KB rows)
+is the production path (ops/trilinear.trilerp_packed).
 
 All kernels are shape-static and run under jit; parity is golden-tested
-against ops/trilinear.py in tests/unit/test_pallas_trilerp.py.
+against ops/trilinear.py in tests/unit/test_pallas_trilerp.py (interpreter
+mode).
 """
 from __future__ import annotations
 
@@ -74,7 +96,10 @@ def _corner_table_kernel(grid_ref, out_ref, *, zb: int):
     # final slab (z0+zb == nz) the extra row replicates row nz-1 — exactly
     # the border convention.
     nxt = grid_ref[pl.ds(z0 + zb, 1)]
-    z1 = jnp.concatenate([base[1:], nxt], axis=0)
+    # zb == 1 (prime Z, e.g. the 19-row middle level): base[1:] would be a
+    # zero-sized vector, which real Mosaic rejects ("vector types must have
+    # positive constant sizes") even though interpret mode tolerates it.
+    z1 = nxt if zb == 1 else jnp.concatenate([base[1:], nxt], axis=0)
 
     blocks = []
     for x1 in (0, 1):
@@ -256,7 +281,7 @@ def _scatter_pairs_kernel(idx_ref, ct_ref, out_ref, *, tn: int):
             out_ref[pl.ds(r, 2), :] += ct_ref[p, 2 * j:2 * j + 2, :]
         return 0
 
-    jax.lax.fori_loop(0, tn, body, 0, unroll=4)
+    jax.lax.fori_loop(0, tn, body, 0, unroll=1)
 
 
 def scatter_corners_pallas(
@@ -363,7 +388,7 @@ def _trilerp_bwd_kernel(
             dgrid_ref[pl.ds(r, 2), :] += ct[p, 2 * j:2 * j + 2, :]
         return 0
 
-    jax.lax.fori_loop(0, tn, body, 0, unroll=4)
+    jax.lax.fori_loop(0, tn, body, 0, unroll=1)
 
 
 def trilerp_bwd_pallas(

@@ -39,9 +39,15 @@ import jax.numpy as jnp
 def use_pallas() -> bool:
     """Trace-time switch for the fused Pallas sampler (ops/pallas_trilerp).
 
-    Enabled with NICESLAM_PALLAS=1 (default off until the kernel beats the
-    packed-gather XLA path on the target chip — scripts/kernel_bench.py
-    --pallas measures both).
+    OFF by default — and measured OFF is the decision (KERNEL_r05.json,
+    `scripts/kernel_bench.py --pallas` on v5e): real Mosaic cannot lower the
+    arbitrary [N]-index row gather the fused sampler needs (lax.gather is
+    restricted to take_along_axis-shaped patterns), and the sequential
+    pair-scatter VJP kernels crash the Mosaic compiler. XLA's hardware DMA
+    gather/scatter (~50 GB/s effective at 48k x 1KB rows) is the production
+    path. NICESLAM_PALLAS=1 remains for interpreter-mode parity testing
+    (NICESLAM_PALLAS_INTERPRET=1) and for re-evaluation on future
+    toolchains; do not enable on current hardware.
     """
     return os.environ.get("NICESLAM_PALLAS", "") not in ("", "0")
 

@@ -148,6 +148,50 @@ def _halo_sample_bwd(vjp_fn, ct):
 _halo_sample.defvjp(_halo_sample_fwd, _halo_sample_bwd)
 
 
+def _tv_term(grids_blk):
+    """Grid-smoothness (TV) term of the Z-sharded program — the exact value
+    and gradient of ``mapper.mapping_loss``'s tv expression evaluated on the
+    logically-concatenated grid.
+
+    Per map device: local y/x/z squared forward differences over its own Z
+    block, plus the one cross-block z difference (my last row vs the next
+    block's first row, fetched with a one-row ``ppermute`` — its autodiff
+    transpose routes that row's cotangent back to its owner). The full-grid
+    VALUE is assembled with a ``psum`` hidden behind ``stop_gradient`` so the
+    differentiable path stays purely local (a differentiable psum would make
+    each device's cotangent ``n_map``-fold under shard_map's per-device
+    transpose — the same over-count _halo_sample_bwd corrects).
+
+    The caller scales by ``tv_weight / kf_n``: TV is identical on every kf
+    replica (grids are kf-replicated), so the explicit grad ``psum`` over
+    KF_AXIS restores exactly 1x.
+    """
+    n_map = jax.lax.axis_size(MAP_AXIS)
+    mi = jax.lax.axis_index(MAP_AXIS)
+    perm = [(i, (i - 1) % n_map) for i in range(n_map)]
+    tv = 0.0
+    for lvl in ("middle", "fine"):
+        g = grids_blk[lvl]
+        zb, Y, X, C = g.shape
+        Z = zb * n_map
+        sy = jnp.sum(jnp.square(g[:, 1:] - g[:, :-1]))
+        sx = jnp.sum(jnp.square(g[:, :, 1:] - g[:, :, :-1]))
+        sz = jnp.sum(jnp.square(g[1:] - g[:-1]))
+        # Cross-block boundary difference (absent on the last block).
+        nxt_first = jax.lax.ppermute(g[:1], MAP_AXIS, perm)[0]
+        sb = jnp.where(
+            mi < n_map - 1, jnp.sum(jnp.square(nxt_first - g[-1])), 0.0
+        )
+        local = (
+            sy / (Z * (Y - 1) * X * C)
+            + sx / (Z * Y * (X - 1) * C)
+            + (sz + sb) / ((Z - 1) * Y * X * C)
+        )
+        full = jax.lax.psum(local, MAP_AXIS)
+        tv = tv + local + jax.lax.stop_gradient(full - local)
+    return tv
+
+
 def _body(
     grids_blk,
     decoders,
@@ -196,9 +240,15 @@ def _body(
             return f
 
         def loss_fn(p, k):
-            return jax.lax.switch(
+            loss = jax.lax.switch(
                 sid, [branch(s) for s in STAGE_ORDER], p, k
             )
+            if pcfg.tv_weight > 0.0:
+                # Stage-independent (every switch branch adds the same term
+                # in the unsharded program); 1/kf_n cancels the grad psum
+                # over KF_AXIS below.
+                loss = loss + (pcfg.tv_weight / kf_n) * _tv_term(p["grids"])
+            return loss
 
         loss, g = jax.value_and_grad(loss_fn)(
             params, jax.random.fold_in(key, it)

@@ -539,8 +539,8 @@ def freeze_for_stage(params, stage: str, pcfg: ProgConfig):
     commits moved ATE 5.1->3.4 and 3.4->9.4. At the frozen-random-decoder
     operating point the trajectory is chaotically sensitive to
     rounding-level program changes; the union freeze is kept for upstream
-    moment fidelity on long runs where BA is actually live (see PERF_r04.md
-    for the measurements).
+    moment fidelity on long runs where BA is actually live (measurements:
+    PERF_r05.md "r4 bisect").
     """
     del stage  # freeze set is pass-wide, identical across switch branches
     any_train = [

@@ -151,7 +151,16 @@ def tracking_loss(
         raw_err = jax.lax.stop_gradient(
             jnp.abs(batch.gt_depth - out.depth)
         )
-        mask = mask & (raw_err < cfg.depth_err_gate)
+        gate = raw_err < cfg.depth_err_gate
+        # Fallback (ADVICE r4): once pose error exceeds ~gate scale, the
+        # absolute gate can mask EVERY pixel — zero gradient, so the solve
+        # can never re-converge. If the gate would keep <20% of the
+        # otherwise-valid pixels, drop it for this batch (the 10*median
+        # rule above still applies).
+        keep_frac = jnp.sum((mask & gate).astype(jnp.float32)) / jnp.maximum(
+            jnp.sum(mask.astype(jnp.float32)), 1.0
+        )
+        mask = mask & (gate | (keep_frac < 0.2))
     w = mask.astype(err.dtype)
     loss = jnp.sum(err * w)
     if cfg.use_color:
@@ -175,9 +184,11 @@ def _track_frame_gn(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Damped Gauss-Newton / IRLS pose solve (TrackConfig.method == 'gn').
 
-    One fixed pixel batch per frame (a stable least-squares problem across
-    re-linearizations); the pose is a local se(3) twist around the warm
-    start, residuals are metric depth + color errors with IRLS Huber
+    A FRESH pixel batch per linearization (``fold_in(key, it)`` — batch
+    noise averages out across iterations instead of being optimized into;
+    see the TrackConfig prior comment); the pose is a local se(3) twist
+    around the warm start, residuals are metric depth + color errors with
+    IRLS Huber
     weights on the uncertainty-normalized errors (matching the robust shape
     of the reference loss, src/Tracker.cpp:67-82), the same dynamic-pixel
     and absolute depth-residual gates as the Adam path, and a relative
@@ -243,7 +254,12 @@ def _track_frame_gn(
             med = jnp.median(jnp.abs(u))
             mask = mask * (jnp.abs(u) < 10.0 * med)
         if cfg.depth_err_gate > 0:
-            mask = mask * (jnp.abs(e) < cfg.depth_err_gate)
+            gate = (jnp.abs(e) < cfg.depth_err_gate).astype(mask.dtype)
+            # Same >80%-masked fallback as the Adam path (ADVICE r4): a
+            # wholly-gated batch would collapse the solve to the prior with
+            # no way back.
+            keep_frac = jnp.sum(mask * gate) / jnp.maximum(jnp.sum(mask), 1.0)
+            mask = mask * jnp.where(keep_frac < 0.2, 1.0, gate)
         # IRLS Huber (delta=1) on the normalized error; weight applies to
         # the METRIC residual, so w = mask * huber'(u)/u * inv_sig^2.
         hub = jnp.minimum(1.0, 1.0 / jnp.maximum(jnp.abs(u), 1e-6))
@@ -298,7 +314,11 @@ def track_frame(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Optimize the frame's pose from ``init_c2w``; returns ``(c2w, losses)``.
 
-    ``c2w`` is the best iterate (lowest batch loss); ``losses`` is the
+    ``c2w`` is the best iterate (lowest pre-step batch loss) for
+    ``method='adam'`` (upstream's candidate_cam_tensor semantics), and the
+    FINAL iterate for the default ``method='gn'`` (each linearization draws
+    a fresh batch, so cross-iterate loss comparison is batch noise; the
+    prior + damping keep the solve convergent). ``losses`` is the
     per-iteration loss curve ``[iters]`` for observability.
     """
     if cfg.method == "gn":

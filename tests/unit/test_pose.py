@@ -54,6 +54,37 @@ def test_invert_pose(rng):
     np.testing.assert_allclose(prod, np.tile(np.eye(4), (8, 1, 1)), atol=1e-5)
 
 
+def test_rotation_to_quat_180_sign_canonical():
+    """At exactly 180 degrees w is +-0.0; canonicalization must land on the
+    +w branch deterministically (VERDICT r4 weak #9): a negated quaternion
+    reads as theta ~= 2*pi in constant_speed_warm_start's clamp."""
+    for axis in ((1.0, 0, 0), (0, 1.0, 0), (0, 0, 1.0),
+                 (0.6, 0.8, 0.0), (0.0, -0.6, 0.8)):
+        R = Rotation.from_rotvec(np.pi * np.asarray(axis)).as_matrix()
+        q = np.asarray(pose.rotation_to_quat(jnp.asarray(R)))
+        assert q[0] >= 0.0, (axis, q)
+        # and the rotation survives the round trip
+        R2 = np.asarray(pose.quat_to_rotation(jnp.asarray(q)))
+        np.testing.assert_allclose(R2, R, atol=1e-5)
+
+
+def test_warm_start_clamp_survives_180_delta():
+    """A ~180-degree inter-frame delta must clamp to max_angle, not blow
+    through it via a 2*pi readout on a wrong-sign quaternion."""
+    p0 = np.eye(4)
+    p1 = np.eye(4)
+    p1[:3, :3] = Rotation.from_rotvec([0.0, np.pi, 0.0]).as_matrix()
+    pred = np.asarray(
+        pose.constant_speed_warm_start(
+            jnp.asarray(p1), jnp.asarray(p0), max_angle=0.3
+        )
+    )
+    # predicted delta relative to p1
+    delta = pred @ np.linalg.inv(p1)
+    ang = np.linalg.norm(Rotation.from_matrix(delta[:3, :3]).as_rotvec())
+    assert ang <= 0.3 + 1e-4, ang
+
+
 def test_constant_speed_warm_start():
     # Pure translation at constant velocity extrapolates linearly.
     p0 = np.eye(4)
