@@ -50,6 +50,9 @@ class TrackingConfig:
     method: str = "gn"
     gn_prior_sigma_r: float = 0.02
     gn_prior_sigma_t: float = 0.03
+    # Per-iteration GN trust region [m | rad] (slam/tracker.py
+    # TrackConfig.gn_step_clip).
+    gn_step_clip: float = 0.02
     const_speed_assumption: bool = True
     gt_camera: bool = False
     lr: float = 0.001

@@ -145,6 +145,7 @@ class NiceSLAM:
             method=t.method,
             gn_prior_sigma_r=t.gn_prior_sigma_r,
             gn_prior_sigma_t=t.gn_prior_sigma_t,
+            gn_step_clip=t.gn_step_clip,
             ignore_edge_H=t.ignore_edge_H,
             ignore_edge_W=t.ignore_edge_W,
         )

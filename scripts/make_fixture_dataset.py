@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--fx", type=float, default=360.0)
     ap.add_argument("--depth-scale", type=float, default=1000.0,
                     help="uint16 depth scale for png layouts")
+    ap.add_argument("--arc", type=float, default=0.3,
+                    help="trajectory arc_fraction: total orbit fraction "
+                    "(>1 = multiple loops; keeps per-frame motion realistic "
+                    "at reference-scale frame counts)")
     args = ap.parse_args()
 
     import cv2
@@ -78,7 +82,7 @@ def main():
     box = np.asarray(
         [[-4.5, 3.82], [-1.5, 2.02], [-3.0, 2.76]], np.float32
     ) * 0.9
-    poses = circular_trajectory(args.frames)
+    poses = circular_trajectory(args.frames, arc_fraction=args.arc)
     root = args.out
     os.makedirs(root, exist_ok=True)
 

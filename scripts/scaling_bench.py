@@ -38,10 +38,24 @@ def main():
     ap.add_argument("--strong", action="store_true")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
                     help="force CPU backend with N virtual devices")
+    ap.add_argument("--real-1x1", action="store_true",
+                    help="measure the Z-sharded shard_map program on a 1x1 "
+                    "mesh against the unsharded program on the SAME device "
+                    "(SCALING real_chip_1x1_overhead: the cost of running "
+                    "under shard_map at all)")
     args = ap.parse_args()
 
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        __import__("os").path.join(
+            __import__("os").path.dirname(
+                __import__("os").path.dirname(
+                    __import__("os").path.abspath(__file__))),
+            ".jaxcache-tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu)
@@ -82,6 +96,56 @@ def main():
     plan = build_stage_plan(args.iters, 0.4, 0.6, m.stage_lr)
     mcfg = MapOptConfig(frustum_feature_selection=False)
     rcfg = RenderConfig()
+
+    if args.real_1x1:
+        from niceslam_tpu.parallel.sharded_mapper import (
+            make_slam_mesh_2d, make_sharded_run_schedule,
+            pad_grid_for_sharding,
+        )
+        from niceslam_tpu.slam.mapper import (
+            ProgConfig, dec_train_from_plan, init_opt_state, run_schedule,
+            schedule_arrays,
+        )
+
+        for lvl in grids:
+            grids[lvl], bounds[lvl] = pad_grid_for_sharding(
+                grids[lvl], bounds[lvl], 1
+            )
+        sched = schedule_arrays(plan, mcfg)
+        pcfg = ProgConfig(
+            n_pixels=args.pixels, w_color_loss=0.2, frustum=False, ba=False,
+            dec_train=dec_train_from_plan(plan, mcfg),
+        )
+        opt0 = init_opt_state(
+            {"grids": grids, "decoders": params, "cams": cams}
+        )
+        call_args = (
+            grids, params, cams, masks, bounds, jnp.asarray(bound_adj),
+            intr, colors, depths, valid, fixed, jax.random.PRNGKey(2),
+            sched, opt0, pcfg, rcfg,
+        )
+        rows = {}
+        sharded = make_sharded_run_schedule(make_slam_mesh_2d(1, 1))
+        for name, fn in (("unsharded", run_schedule), ("sharded_1x1", sharded)):
+            jax.block_until_ready(fn(*call_args))  # compile + warm
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*call_args))
+                ts.append(time.perf_counter() - t0)
+            rows[name] = float(np.median(ts))
+            print(json.dumps({
+                "prog": name, "pixels": args.pixels, "iters": args.iters,
+                "t_step_s": round(rows[name], 4),
+                "platform": jax.devices()[0].platform,
+            }), flush=True)
+        print(json.dumps({
+            "real_chip_1x1_overhead": round(
+                rows["sharded_1x1"] / rows["unsharded"] - 1.0, 4
+            ),
+            "platform": jax.devices()[0].platform,
+        }), flush=True)
+        return
 
     t1 = None
     for n in sizes:
