@@ -100,6 +100,24 @@ class MappingConfig:
     # Grid feature-smoothness (TV) weight (slam/mapper.py
     # ProgConfig.tv_weight); 0 disables.
     tv_weight: float = 0.0
+    # Free-space / near-surface occupancy supervision weight and transition
+    # half-width [m] (slam/mapper.py ProgConfig.fs_weight/fs_band); 0
+    # disables. Carves observed free space to truly-empty so novel-view
+    # depth loses its 10-40 cm tail (the r5 tracking-bias root cause).
+    fs_weight: float = 0.0
+    fs_band: float = 0.05
+    # Re-solve the event frame's pose against the JUST-updated map at the
+    # end of each mapping event, before keyframe admission (slam/system.py
+    # map_frame). Tracking against a frozen fresh map is a well-posed
+    # solve (measured r5: GN converges to ~1.5 cm from 2-10 cm starts on an
+    # fs-supervised map), unlike early BA which jointly deforms map AND
+    # poses while both are underdetermined (measured: BA_cam_lr 5e-3 at
+    # BA_min_keyframes=1 tripled early-trajectory error). This breaks the
+    # bake-in feedback loop: the pose stored with each keyframe is
+    # consistent with the map state it was admitted into. No reference
+    # equivalent (upstream tracks each frame once, before its mapping
+    # event).
+    retrack: bool = False
     frustum_feature_selection: bool = True
     keyframe_selection_method: str = "overlap"
     lr_first_factor: float = 5.0
@@ -140,6 +158,9 @@ class RenderingConfig:
     N_importance: int = 0
     lindisp: bool = False
     perturb: float = 0.0
+    # Surface-sample half-band as a fraction of gt depth (upstream
+    # hard-codes 0.05; render/renderer.py RenderConfig.surface_band).
+    surface_band: float = 0.05
 
 
 @dataclass(frozen=True)

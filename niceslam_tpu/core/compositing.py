@@ -28,6 +28,14 @@ class RenderOutputs(NamedTuple):
     depth: jnp.ndarray  # [N]
     depth_var: jnp.ndarray  # [N]
     weights: jnp.ndarray  # [N, S]
+    # Per-sample auxiliaries for direct occupancy supervision (the mapper's
+    # free-space / near-surface loss, slam/mapper.py): decoder occupancy
+    # LOGITS before the out-of-bound override, the sample depths, and an
+    # in-scene-bound validity mask. None when the producer does not supply
+    # them (raw_to_outputs itself composites only).
+    occ: jnp.ndarray | None = None  # [N, S]
+    z_vals: jnp.ndarray | None = None  # [N, S]
+    sample_valid: jnp.ndarray | None = None  # [N, S] bool
 
 
 def raw_to_outputs(

@@ -42,17 +42,26 @@ def stratified_z_vals(
 def surface_z_vals(
     gt_depth: jnp.ndarray,
     n_surface: int,
+    band: float = 0.05,
 ) -> jnp.ndarray:
     """``n_surface`` z-values bracketing the observed surface per ray.
 
     Reference semantics (src/Renderer.cpp:80-99): rays with gt_depth > 0 get
-    samples linearly spanning [0.95, 1.05] * gt_depth; rays with zero depth
-    span [1e-3, max(gt_depth in batch)] instead. Implemented as a where-blend
+    samples linearly spanning [1-band, 1+band] * gt_depth (reference
+    hard-codes band=0.05); rays with zero depth span
+    [1e-3, max(gt_depth in batch)] instead. Implemented as a where-blend
     so shapes stay static.
+
+    ``band`` sets the depth-integration resolution: rendered depth is the
+    alpha-weighted sum over these samples, so their spacing
+    (2*band*gt/(n-1) — 1.6 cm at upstream's 0.05/16 and 2.4 m range) lower-
+    bounds the achievable render-depth accuracy, which in turn displaced
+    the tracking-loss minimum ~1.4 cm (measured r5, /tmp-probe on a
+    GT-pose map). The bench config tightens it.
     """
     gt = gt_depth.reshape(-1, 1)
     t = jnp.linspace(0.0, 1.0, n_surface, dtype=gt.dtype)
-    z_nonzero = 0.95 * gt * (1.0 - t) + 1.05 * gt * t
+    z_nonzero = (1.0 - band) * gt * (1.0 - t) + (1.0 + band) * gt * t
     far_surface = jnp.max(gt)
     z_zero = 0.001 * (1.0 - t) + far_surface * t  # [n_surface]
     return jnp.where(gt > 0.0, z_nonzero, z_zero[None, :])

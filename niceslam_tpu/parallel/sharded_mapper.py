@@ -235,6 +235,11 @@ def _body(
                     intr, colors, depths, frame_valid, cam_fixed, k, stage,
                     pcfg.w_color_loss, rcfg, pcfg.n_pixels,
                     ray_shard=(ray_start, n_local),
+                    # Per-ray like the main loss: each kf shard evaluates
+                    # its slice and the explicit psum below reconstitutes
+                    # exactly the unsharded term (unlike tv_weight, no
+                    # special handling needed).
+                    fs_weight=pcfg.fs_weight, fs_band=pcfg.fs_band,
                 )
 
             return f

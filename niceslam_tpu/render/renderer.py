@@ -40,6 +40,10 @@ class RenderConfig(NamedTuple):
     perturb: float = 0.0
     lindisp: bool = False
     occupancy: bool = True
+    # Surface-sample half-band as a fraction of gt depth (upstream
+    # hard-codes 0.05, src/Renderer.cpp:85). Sample spacing 2*band*gt/(n-1)
+    # lower-bounds render-depth accuracy — see core/sampling.surface_z_vals.
+    surface_band: float = 0.05
 
 
 def render_rays(
@@ -70,7 +74,7 @@ def render_rays(
         near, far, cfg.n_samples, cfg.perturb, key
     )
     if n_surface > 0:
-        z_surf = sampling.surface_z_vals(gt_depth, n_surface)
+        z_surf = sampling.surface_z_vals(gt_depth, n_surface, cfg.surface_band)
         z_vals = sampling.merge_z_vals(z_strat, z_surf)
     else:
         z_vals = z_strat
@@ -86,10 +90,18 @@ def render_rays(
             (flat > scene_bound[:, 0]) & (flat < scene_bound[:, 1]), axis=-1
         )
         occ = jnp.where(inside, raw[:, 3], 100.0)
-        raw = jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
-        raw = raw.reshape(n_rays, S, 4)
-        return compositing.raw_to_outputs(
-            raw, z_vals, rays_d, occupancy=cfg.occupancy
+        full = jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
+        full = full.reshape(n_rays, S, 4)
+        out = compositing.raw_to_outputs(
+            full, z_vals, rays_d, occupancy=cfg.occupancy
+        )
+        # Per-sample auxiliaries for the mapper's direct occupancy
+        # supervision: PRE-override logits (forced-opaque OOB values are not
+        # decoder outputs and must not receive supervision gradients).
+        return out._replace(
+            occ=raw[:, 3].reshape(n_rays, S),
+            z_vals=z_vals,
+            sample_valid=inside.reshape(n_rays, S),
         )
 
     out = eval_composite(z_vals)

@@ -74,6 +74,8 @@ class MapOptConfig(NamedTuple):
     train_all_decoders: bool = False
     decoders_lr_fallback: float = 0.005
     tv_weight: float = 0.0  # grid smoothness (ProgConfig.tv_weight)
+    fs_weight: float = 0.0  # free-space/near-surface occ loss (ProgConfig)
+    fs_band: float = 0.05
 
 
 class ProgConfig(NamedTuple):
@@ -114,6 +116,22 @@ class ProgConfig(NamedTuple):
     # iteration, negligible next to the ray gathers. No reference
     # equivalent (the reference's map has the same freedom, unregularized).
     tv_weight: float = 0.0
+    # Direct per-sample occupancy supervision (free-space carving + near-
+    # surface sharpening): every render sample's occupancy logit is pulled
+    # toward tanh((z - gt_depth)/band) — -1 in observed free space, +1 past
+    # the surface — reusing the samples the render already evaluated
+    # (near-zero extra compute). Root cause it fixes (measured,
+    # scripts/track_diag.py r5): the compositing loss constrains only the
+    # INTEGRAL along each ray, so observed free space kept the fresh-grid
+    # calibration alpha (~0.03/sample) and novel-view depth had a 10-40 cm
+    # p90 tail that displaced the tracking-loss minimum several cm from the
+    # true pose (loss at tracked 63 < loss at gt 91). No reference
+    # equivalent; the technique is the approximated-SDF supervision of the
+    # Co-SLAM/ESLAM family of NICE-SLAM successors. fs_band is the
+    # transition half-width [m] (x6 for the coarse stage's 2 m voxels,
+    # matching the pretrain recipe's width ratio).
+    fs_weight: float = 0.0
+    fs_band: float = 0.05
 
 
 # Explicit all-frozen decoder table for probe/bench programs that measure
@@ -350,6 +368,8 @@ def mapping_loss(
     n_pixels: int,
     ray_shard=None,  # (traced start, static size): evaluate a slice only
     tv_weight: float = 0.0,
+    fs_weight: float = 0.0,
+    fs_band: float = 0.05,
 ):
     """One joint-iteration loss over the keyframe window.
 
@@ -413,6 +433,16 @@ def mapping_loss(
     )
     depth_mask = (flat.gt_depth > 0).astype(jnp.float32) * ray_w
     loss = jnp.sum(jnp.abs(flat.gt_depth - out.depth) * depth_mask)
+    if fs_weight > 0.0:
+        # Free-space / near-surface occupancy supervision (see
+        # ProgConfig.fs_weight): per-sample logit target along the ray.
+        # Scale: sum over rays of the per-sample MEAN, so the term is
+        # commensurate with the summed per-ray depth L1.
+        band = fs_band * (6.0 if stage == "coarse" else 1.0)
+        tgt = jnp.tanh((out.z_vals - flat.gt_depth[:, None]) / band)
+        m = depth_mask[:, None] * out.sample_valid.astype(jnp.float32)
+        per = jnp.square(out.occ - tgt) * m
+        loss = loss + fs_weight * jnp.sum(per) / out.occ.shape[-1]
     if stage == "color":
         closs = jnp.sum(
             jnp.abs(flat.gt_color - out.rgb) * ray_w[:, None]
@@ -470,6 +500,7 @@ def _scan_step(
                 colors, depths, frame_valid, cam_fixed, k, stage,
                 pcfg.w_color_loss, rcfg, pcfg.n_pixels,
                 tv_weight=pcfg.tv_weight,
+                fs_weight=pcfg.fs_weight, fs_band=pcfg.fs_band,
             )
 
         return f
@@ -669,6 +700,8 @@ def optimize_window(
         ba=cfg.BA,
         dec_train=dec_train_from_plan(plan, cfg),
         tv_weight=cfg.tv_weight,
+        fs_weight=cfg.fs_weight,
+        fs_band=cfg.fs_band,
     )
     opt_state = init_opt_state(
         {"grids": grids, "decoders": decoders, "cams": cam_tensors}

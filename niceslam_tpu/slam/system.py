@@ -131,6 +131,7 @@ class NiceSLAM:
             perturb=cfg.rendering.perturb,
             lindisp=cfg.rendering.lindisp,
             occupancy=cfg.occupancy,
+            surface_band=cfg.rendering.surface_band,
         )
         t = cfg.tracking
         self.tcfg = TrackConfig(
@@ -479,6 +480,14 @@ class NiceSLAM:
             self._pending_verify = (self._event_prev, self._event_passes)
             self._event_passes = []
 
+        # Re-track against the just-updated map (mapping.retrack): the event
+        # frame's pose was solved against the PREVIOUS map state; re-solving
+        # it here, before keyframe admission, stores a pose consistent with
+        # the map it anchors — breaking the drift-bake-in feedback loop
+        # (config/schema.py retrack rationale; measured r5).
+        if m.retrack and not first and not self.cfg.tracking.gt_camera:
+            self._retrack_event_frame(frame)
+
         # Keyframe admission (src/Mapper.cpp:537-550 / upstream).
         # Bootstrap frames are all keyframed: until the second regular
         # keyframe exists the window would otherwise hold only {kf0, cur},
@@ -525,6 +534,35 @@ class NiceSLAM:
                 key_o, self.intr, c2w_o, depth_o, color_o, kf_o
             )
 
+    def _retrack_event_frame(self, frame: Frame):
+        """One extra pose solve for the event frame on the fresh map.
+
+        Runs on device 0 (the map is resident there post-event; in PP
+        track-role mode this is a second tracker executable, warmed like
+        any other signature on first use). Async mode keeps the pose a
+        device future like track() does; a diverged event produces a
+        non-finite pose here, which the deferred rollback's trajectory
+        scrub already contains (_verify_pending).
+        """
+        color_j, depth_j, init, key = self._commit(
+            (
+                jnp.asarray(frame.color),
+                jnp.asarray(frame.depth),
+                jnp.asarray(self.est_c2w[-1]),
+                self._next_key(),
+            )
+        )
+        snap = self._published()
+        c2w_j, _ = track_frame(
+            snap.decoders, snap.grids, self.bounds, self.scene_bound,
+            self.intr, color_j, depth_j, init, key, self.tcfg, self.rcfg,
+        )
+        self.est_c2w[-1] = (
+            c2w_j
+            if self.sync_method == "async"
+            else np.asarray(jax.device_get(c2w_j), np.float32)
+        )
+
     def _is_keyframe(self, idx: int) -> bool:
         return bool(np.any(self._kf_slot_frame == idx))
 
@@ -566,6 +604,8 @@ class NiceSLAM:
             ba=mcfg.BA,
             dec_train=dec_train_table(m.stage_lr, mcfg),
             tv_weight=m.tv_weight,
+            fs_weight=m.fs_weight,
+            fs_band=m.fs_band,
         )
 
     def _make_plan(self, iters: int, coarse: bool, refine: bool):

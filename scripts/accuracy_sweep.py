@@ -36,7 +36,7 @@ DEFAULTS = dict(
     method="gn", prior_r=0.02, prior_t=0.03, gate=0.3, step_clip=0.02,
     iters=10, pixels=200, gt_camera=0, pretrained=1, depth_psnr=0,
     map_iters=60, iters_first=1500, window=5, use_color=1, map_pixels=1000,
-    w_color=0.5,
+    w_color=0.5, fs=0.0, fsband=0.05, balr=0.001, pt="default", retrack=0, nsurf=16, sband=0.05,
 )
 
 
@@ -58,14 +58,18 @@ def run_one(v: dict) -> dict:
     import numpy as np
 
     from niceslam_tpu.config.schema import (
-        CamConfig, GridLenConfig, MappingConfig, SLAMConfig, TrackingConfig,
+        CamConfig, GridLenConfig, MappingConfig, RenderingConfig, SLAMConfig,
+        TrackingConfig,
     )
     from niceslam_tpu.io.datasets.synthetic import SyntheticBoxReader
     from niceslam_tpu.slam.system import NiceSLAM
 
+    _pt_file = (
+        "pretrained_decoders.npz" if v["pt"] == "default"
+        else f"pretrained_decoders_{v['pt']}.npz"
+    )
     pretrained = (
-        os.path.join(ROOT, "models", "pretrained_decoders.npz")
-        if v["pretrained"] else ""
+        os.path.join(ROOT, "models", _pt_file) if v["pretrained"] else ""
     )
     cfg = SLAMConfig(
         dataset="synthetic",
@@ -85,12 +89,14 @@ def run_one(v: dict) -> dict:
             pixels=v["map_pixels"], iters_first=v["iters_first"], iters=v["map_iters"],
             every_frame=v["every"], keyframe_every=v["kf_every"],
             mapping_window_size=v["window"], max_keyframes=64,
-            color_refine=False, BA_min_keyframes=v["ba_min"],
+            color_refine=False, BA_min_keyframes=v["ba_min"], BA_cam_lr=v["balr"],
             bootstrap_frames=v["bootstrap"], tv_weight=v["tv"],
+            fs_weight=v["fs"], fs_band=v["fsband"], retrack=bool(v["retrack"]),
         ),
         coarse=True,
         verbose=False,
         sync_method="async",
+        rendering=RenderingConfig(N_surface=v["nsurf"], surface_band=v["sband"]),
     )
     n = v["frames"]
     reader = SyntheticBoxReader(cfg, n_frames=n)
