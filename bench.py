@@ -63,13 +63,23 @@ def main():
         )
         _pretrained = ""
 
+    # The r5 accuracy operating point (PERF_r05.md §3 causal chain):
+    # free-space occupancy supervision (fs_weight), bootstrap mapping of
+    # the first 5 frames, post-event re-tracking, a 2x GN tracking budget,
+    # and the scalar depth-offset nuisance in the GN solve. Upstream
+    # budgets are unchanged where the reference defines them (mapping
+    # 1000 x 60 every 5th frame, 32+16 samples, c_dim 32).
     cfg = SLAMConfig(
         dataset="synthetic",
         bound=((-4.5, 3.82), (-1.5, 2.02), (-3.0, 2.76)),
         pretrained_middle_fine=_pretrained,
         cam=CamConfig(H=480, W=640, fx=360.0, fy=360.0, cx=320.0, cy=240.0),
         grid_len=GridLenConfig(),
-        tracking=TrackingConfig(pixels=200, iters=10),
+        tracking=TrackingConfig(
+            pixels=int(os.environ.get("BENCH_TRACK_PX", "400")),
+            iters=20,
+            gn_depth_offset_sigma=0.05,
+        ),
         mapping=MappingConfig(
             pixels=1000,
             iters_first=1500,
@@ -84,6 +94,9 @@ def main():
             mapping_window_size=5,
             max_keyframes=64,
             color_refine=False,
+            bootstrap_frames=5,
+            fs_weight=3.0,
+            retrack=True,
         ),
         coarse=True,
         verbose=False,
@@ -157,6 +170,23 @@ def main():
         f"ATE RMSE = {None if ate is None else round(ate * 100, 3)} cm"
     )
 
+    # Multi-seed ATE: the trajectory estimate at this operating point has
+    # seed spread comparable to its mean (VERDICT r4 weak #1 — a single-
+    # seed ATE is close to noise), so the headline accuracy is the MEAN
+    # over BENCH_SEEDS runs (seed 0 above reuses the timed run; further
+    # seeds reuse every compiled program, ~25-35 s each).
+    ates = [] if ate is None else [float(ate)]
+    for seed in range(1, int(os.environ.get("BENCH_SEEDS", "8"))):
+        s2 = NiceSLAM(cfg, reader=reader, seed=seed)
+        for k in range(n_frames):
+            s2.step(frames[k])
+        r2 = s2.result()
+        jax.block_until_ready(s2.state.grids)
+        if r2.get("ate_rmse") is not None:
+            ates.append(float(r2["ate_rmse"]))
+        log(f"seed {seed}: ATE RMSE = {round(100 * ates[-1], 3)} cm")
+    ate_mean = float(np.mean(ates)) if ates else None
+
     # Whole-step roofline (BASELINE.md "speed-of-light, measured" row):
     # analytic FLOPs/bytes of the steady-state per-frame work -> achieved
     # fraction of the chip's bandwidth/compute peaks. The workload is
@@ -203,7 +233,11 @@ def main():
                 "value": round(fps, 4),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 1.0, 4),
-                "ate_rmse_cm": None if ate is None else round(ate * 100, 4),
+                "ate_rmse_cm": (
+                    None if ate_mean is None else round(ate_mean * 100, 4)
+                ),
+                "ate_seed0_cm": None if ate is None else round(ate * 100, 4),
+                "ate_seeds_cm": [round(a * 100, 3) for a in ates],
                 "hbm_util": round(hbm_util, 4),
                 "mfu": round(mfu, 5),
                 "sol_fps": round(sol_fps, 2),

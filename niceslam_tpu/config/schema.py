@@ -53,6 +53,10 @@ class TrackingConfig:
     # Per-iteration GN trust region [m | rad] (slam/tracker.py
     # TrackConfig.gn_step_clip).
     gn_step_clip: float = 0.02
+    # Scalar depth-offset nuisance prior sigma [m]; 0 disables (slam/
+    # tracker.py TrackConfig.gn_depth_offset_sigma — absorbs the map's
+    # uniform rendered-depth bias so it cannot walk the pose).
+    gn_depth_offset_sigma: float = 0.0
     const_speed_assumption: bool = True
     gt_camera: bool = False
     lr: float = 0.001
@@ -118,6 +122,18 @@ class MappingConfig:
     # equivalent (upstream tracks each frame once, before its mapping
     # event).
     retrack: bool = False
+    # Observed-voxel locking (0 disables): a voxel that has been inside the
+    # optimized frustum for `lock_after` mapping events stops receiving
+    # grid updates (its gradient mask goes to zero). Rationale (measured
+    # r5, PERF_r05.md §3): the tracking-solve bias is map-relative, so
+    # against a FROZEN map the pose error is bounded (~1.5 cm); the error
+    # ACCUMULATES only through mapping events re-deforming already-settled
+    # geometry to fit the current (drifted) frame — at 150 frames this ran
+    # the trajectory meters off. Locking settled voxels pins the global
+    # gauge to the earliest well-observed geometry; new regions train
+    # freely. iMAP/Co-SLAM-family certainty weighting, binarized; no
+    # reference equivalent.
+    lock_after: int = 0
     frustum_feature_selection: bool = True
     keyframe_selection_method: str = "overlap"
     lr_first_factor: float = 5.0

@@ -147,8 +147,23 @@ class NiceSLAM:
             gn_prior_sigma_r=t.gn_prior_sigma_r,
             gn_prior_sigma_t=t.gn_prior_sigma_t,
             gn_step_clip=t.gn_step_clip,
+            gn_depth_offset_sigma=t.gn_depth_offset_sigma,
             ignore_edge_H=t.ignore_edge_H,
             ignore_edge_W=t.ignore_edge_W,
+        )
+        # Observed-voxel locking (mapping.lock_after): per-level float
+        # event counts [Z, Y, X, 1]; a voxel with count >= lock_after stops
+        # receiving grid updates (gauge-pinning — schema rationale). Device-
+        # resident; incremented once per mapping event with that event's
+        # frustum mask. Not persisted by checkpoints: a restore unlocks the
+        # map once (counts restart at zero), which only softens the pin.
+        self._obs_counts = (
+            {
+                lvl: jnp.zeros(g.shape[:3] + (1,), g.dtype)
+                for lvl, g in self.state.grids.items()
+            }
+            if cfg.mapping.lock_after > 0
+            else None
         )
         self.est_c2w: List[np.ndarray] = []
         self.gt_c2w: List[Optional[np.ndarray]] = []
@@ -401,6 +416,7 @@ class NiceSLAM:
             self._kf_slot_frame.copy(),
             len(self.est_c2w) - 1,
             self.est_c2w[-1],
+            self._obs_counts,  # immutable dict-of-arrays (or None)
         )
         self._event_passes = []
         # Decoder training window (mapping.decoder_train): 'init' trains the
@@ -479,6 +495,13 @@ class NiceSLAM:
         if self.sync_method == "async" and self._event_passes:
             self._pending_verify = (self._event_prev, self._event_passes)
             self._event_passes = []
+
+        if self._obs_counts is not None and getattr(self, "_event_frustum", None) is not None:
+            self._obs_counts = {
+                lvl: self._obs_counts[lvl] + self._event_frustum[lvl]
+                for lvl in self._obs_counts
+            }
+            self._event_frustum = None
 
         # Re-track against the just-updated map (mapping.retrack): the event
         # frame's pose was solved against the PREVIOUS map state; re-solving
@@ -692,6 +715,17 @@ class NiceSLAM:
                 lvl: jnp.ones(g.shape[:3] + (1,), g.dtype)
                 for lvl, g in self.state.grids.items()
             }
+        if self._obs_counts is not None:
+            # Observed-voxel locking: settled voxels drop out of the update
+            # mask (counts are incremented per EVENT in map_frame, from the
+            # staged pass's raw frustum mask saved here).
+            if not coarse:
+                self._event_frustum = masks
+            lock = float(self.cfg.mapping.lock_after)
+            masks = {
+                lvl: m * (self._obs_counts[lvl] < lock).astype(m.dtype)
+                for lvl, m in masks.items()
+            }
 
         # Chunked execution through THE hot program (mapper.run_schedule):
         # a normal pass is one chunk; the 1500-iter init pass chains 25
@@ -830,7 +864,8 @@ class NiceSLAM:
         self._pending_verify = None
         tails = [np.asarray(losses)[-1] for _, _, _, losses in passes]
         if not all(np.isfinite(t) for t in tails):
-            st, kf_count, kf_slots, tidx, tpose = prev
+            st, kf_count, kf_slots, tidx, tpose, obs_counts = prev
+            self._obs_counts = obs_counts
             self.state = self.state._replace(
                 grids=st.grids, decoders=st.decoders, keyframes=st.keyframes
             )

@@ -81,6 +81,20 @@ class TrackConfig(NamedTuple):
     # optimized into.
     gn_prior_sigma_r: float = 0.02
     gn_prior_sigma_t: float = 0.03
+    # Scalar depth-offset nuisance parameter (0 disables): the map's
+    # rendered depth carries a roughly UNIFORM far bias of ~half the
+    # occupancy-transition width (measured r5: linear fit rendered ~=
+    # 0.989*gt + 3.6 cm on the frame-0 map; narrowing the transition
+    # restores accuracy but collapses the tracking convergence basin).
+    # A uniform depth bias is nearly indistinguishable from a camera
+    # translation, so it walks the pose. Augmenting the GN system with one
+    # per-linearization scalar offset column (d(residual)/d(offset) = 1 on
+    # depth rows, 0 on color rows) absorbs the bias; the pose is then
+    # constrained by the residuals' SPATIAL STRUCTURE (parallax across the
+    # room's differently-oriented walls), which a scalar cannot mimic. The
+    # value is this nuisance's prior sigma [m]; it is re-estimated per
+    # iteration and never carried.
+    gn_depth_offset_sigma: float = 0.0
     ignore_edge_H: int = 20
     ignore_edge_W: int = 20
 
@@ -273,11 +287,35 @@ def _track_frame_gn(
             / (cfg.gn_color_sigma ** 2)
         ) if cfg.use_color else jnp.zeros_like(ec)
 
-        A = Jd.T @ (wd[:, None] * Jd) + Jc.T @ (wc.reshape(-1, 1) * Jc)
-        g = Jd.T @ (wd * e) + Jc.T @ (wc * ec).reshape(-1)
-        A = A + prior + cfg.gn_lambda * jnp.diag(jnp.diag(A)) + 1e-6 * eye6
-        g = g + prior @ xi  # prior residual: xi - 0 (the warm start)
-        delta = -jnp.linalg.solve(A, g)
+        if cfg.gn_depth_offset_sigma > 0:
+            # Augment with the scalar depth-offset nuisance (see
+            # TrackConfig.gn_depth_offset_sigma): one extra column of ones
+            # on depth rows, zeros on color rows; weak zero-mean prior.
+            Jd_a = jnp.concatenate([Jd, jnp.ones((n, 1), Jd.dtype)], axis=1)
+            Jc_a = jnp.concatenate(
+                [Jc, jnp.zeros((n * 3, 1), Jc.dtype)], axis=1
+            )
+            prior_a = jnp.zeros((7, 7), jnp.float32)
+            prior_a = prior_a.at[:6, :6].set(prior)
+            prior_a = prior_a.at[6, 6].set(
+                1.0 / cfg.gn_depth_offset_sigma**2
+            )
+            eye_a = jnp.eye(7, dtype=jnp.float32)
+            xi_a = jnp.concatenate([xi, jnp.zeros((1,), xi.dtype)])
+            A = (
+                Jd_a.T @ (wd[:, None] * Jd_a)
+                + Jc_a.T @ (wc.reshape(-1, 1) * Jc_a)
+            )
+            g = Jd_a.T @ (wd * e) + Jc_a.T @ (wc * ec).reshape(-1)
+            A = A + prior_a + cfg.gn_lambda * jnp.diag(jnp.diag(A)) + 1e-6 * eye_a
+            g = g + prior_a @ xi_a
+            delta = -jnp.linalg.solve(A, g)[:6]
+        else:
+            A = Jd.T @ (wd[:, None] * Jd) + Jc.T @ (wc.reshape(-1, 1) * Jc)
+            g = Jd.T @ (wd * e) + Jc.T @ (wc * ec).reshape(-1)
+            A = A + prior + cfg.gn_lambda * jnp.diag(jnp.diag(A)) + 1e-6 * eye6
+            g = g + prior @ xi  # prior residual: xi - 0 (the warm start)
+            delta = -jnp.linalg.solve(A, g)
         nrm = jnp.linalg.norm(delta)
         delta = delta * jnp.minimum(1.0, cfg.gn_step_clip / (nrm + 1e-12))
         xi_new = xi + delta

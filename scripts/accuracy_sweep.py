@@ -36,7 +36,7 @@ DEFAULTS = dict(
     method="gn", prior_r=0.02, prior_t=0.03, gate=0.3, step_clip=0.02,
     iters=10, pixels=200, gt_camera=0, pretrained=1, depth_psnr=0,
     map_iters=60, iters_first=1500, window=5, use_color=1, map_pixels=1000,
-    w_color=0.5, fs=0.0, fsband=0.05, balr=0.001, pt="default", retrack=0, nsurf=16, sband=0.05,
+    w_color=0.5, fs=0.0, fsband=0.05, balr=0.001, pt="default", retrack=0, nsurf=16, sband=0.05, cs=1, doff=0.0, lock=0,
 )
 
 
@@ -83,6 +83,8 @@ def run_one(v: dict) -> dict:
             gn_prior_sigma_r=v["prior_r"], gn_prior_sigma_t=v["prior_t"],
             gn_step_clip=v["step_clip"],
             use_color_in_tracking=bool(v["use_color"]),
+            const_speed_assumption=bool(v["cs"]),
+            gn_depth_offset_sigma=v["doff"],
             w_color_loss=v["w_color"],
         ),
         mapping=MappingConfig(
@@ -92,6 +94,7 @@ def run_one(v: dict) -> dict:
             color_refine=False, BA_min_keyframes=v["ba_min"], BA_cam_lr=v["balr"],
             bootstrap_frames=v["bootstrap"], tv_weight=v["tv"],
             fs_weight=v["fs"], fs_band=v["fsband"], retrack=bool(v["retrack"]),
+            lock_after=v["lock"],
         ),
         coarse=True,
         verbose=False,
