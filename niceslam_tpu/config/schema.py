@@ -340,17 +340,22 @@ def load_config(
     ``path`` may declare ``inherit_from: <relative path>``; explicit ``base``
     wins over that. Overrides use dotted paths: ``{"tracking.lr": 0.01}``.
     """
+    def _load_chain(p: Path) -> Dict[str, Any]:
+        """Resolve ``inherit_from`` RECURSIVELY (a dataset file may inherit a
+        dataset family file that itself inherits the base algorithm config —
+        e.g. cofusion_synth849.yaml -> cofusion.yaml -> niceslam.yaml)."""
+        with open(p) as f:
+            d = yaml.safe_load(f) or {}
+        parent = d.pop("inherit_from", None)
+        if parent is not None:
+            d = _deep_merge(_load_chain(Path(p).parent / parent), d)
+        return d
+
     data: Dict[str, Any] = {}
     if path is not None:
-        with open(path) as f:
-            data = yaml.safe_load(f) or {}
-    inherit = data.pop("inherit_from", None)
-    if base is None and inherit is not None and path is not None:
-        base = Path(path).parent / inherit
+        data = _load_chain(Path(path))
     if base is not None:
-        with open(base) as f:
-            base_data = yaml.safe_load(f) or {}
-        data = _deep_merge(base_data, data)
+        data = _deep_merge(_load_chain(Path(base)), data)
     if overrides:
         data = _apply_overrides(data, overrides)
     # normalize alternate key spellings from upstream-style yamls

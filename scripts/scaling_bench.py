@@ -126,17 +126,34 @@ def main():
         )
         rows = {}
         sharded = make_sharded_run_schedule(make_slam_mesh_2d(1, 1))
+        # CHAINED timing (PERF_r05.md section 6): per-call block_until_ready
+        # under the axon tunnel returned physically impossible times (2 ms
+        # for 30 iterations whose render-backward alone is 5.7 ms). Feeding
+        # outputs back as inputs for K calls and materializing the final
+        # state on host forces truly serialized execution.
+        K = 6
         for name, fn in (("unsharded", run_schedule), ("sharded_1x1", sharded)):
-            jax.block_until_ready(fn(*call_args))  # compile + warm
-            ts = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                jax.block_until_ready(fn(*call_args))
-                ts.append(time.perf_counter() - t0)
-            rows[name] = float(np.median(ts))
+            g, d2, c, o = grids, params, cams, opt0
+            out = fn(g, d2, c, masks, bounds, jnp.asarray(bound_adj), intr,
+                     colors, depths, valid, fixed, jax.random.PRNGKey(0),
+                     sched, o, pcfg, rcfg)
+            jax.block_until_ready(out)
+            g, d2, c, o, _ = out
+            t0 = time.perf_counter()
+            for i in range(1, K + 1):
+                g, d2, c, o, losses = fn(
+                    g, d2, c, masks, bounds, jnp.asarray(bound_adj), intr,
+                    colors, depths, valid, fixed, jax.random.PRNGKey(i),
+                    sched, o, pcfg, rcfg,
+                )
+            sentinel = float(np.asarray(losses[-1])) + float(
+                np.asarray(g["middle"][0, 0, 0, 0])
+            )
+            rows[name] = (time.perf_counter() - t0) / K
             print(json.dumps({
                 "prog": name, "pixels": args.pixels, "iters": args.iters,
                 "t_step_s": round(rows[name], 4),
+                "sentinel": round(sentinel, 3),
                 "platform": jax.devices()[0].platform,
             }), flush=True)
         print(json.dumps({
