@@ -96,6 +96,12 @@ class MappingConfig:
     # slam/system.py step(): bridges the single-view init map to the first
     # regular mapping events without letting tracker drift bake in.
     bootstrap_frames: int = 0
+    # Per-event iteration budget for bootstrap-frame mapping events (0 =
+    # mapping.iters). Extra budget here is compile-free (a longer pass
+    # chains more chunks of the same compiled program) and targets the
+    # early-transient regime where per-seed trajectory fate is decided
+    # (PERF_r05.md section 3).
+    bootstrap_iters: int = 0
     fix_fine: bool = True
     fix_color: bool = False
     keyframe_every: int = 50

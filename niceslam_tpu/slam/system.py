@@ -402,6 +402,10 @@ class NiceSLAM:
             outer = 5
         else:
             mode, iters, lr_factor = "normal", m.iters, m.lr_factor
+            if idx < m.bootstrap_frames and m.bootstrap_iters > 0:
+                # Bootstrap events may run a deeper budget (chunks of the
+                # same compiled program — no new signature).
+                iters = m.bootstrap_iters
         # Async mode: settle the previous event's deferred NaN guard before
         # this event builds on the published state, then snapshot the
         # pre-event state so the WHOLE event (coarse + staged passes, BA pose

@@ -36,7 +36,7 @@ DEFAULTS = dict(
     method="gn", prior_r=0.02, prior_t=0.03, gate=0.3, step_clip=0.02,
     iters=10, pixels=200, gt_camera=0, pretrained=1, depth_psnr=0,
     map_iters=60, iters_first=1500, window=5, use_color=1, map_pixels=1000,
-    w_color=0.5, fs=0.0, fsband=0.05, balr=0.001, pt="default", retrack=0, nsurf=16, sband=0.05, cs=1, doff=0.0, lock=0,
+    w_color=0.5, fs=0.0, fsband=0.05, balr=0.001, pt="default", retrack=0, nsurf=16, sband=0.05, cs=1, doff=0.0, lock=0, bi=0,
 )
 
 
@@ -92,7 +92,7 @@ def run_one(v: dict) -> dict:
             every_frame=v["every"], keyframe_every=v["kf_every"],
             mapping_window_size=v["window"], max_keyframes=64,
             color_refine=False, BA_min_keyframes=v["ba_min"], BA_cam_lr=v["balr"],
-            bootstrap_frames=v["bootstrap"], tv_weight=v["tv"],
+            bootstrap_frames=v["bootstrap"], bootstrap_iters=v["bi"], tv_weight=v["tv"],
             fs_weight=v["fs"], fs_band=v["fsband"], retrack=bool(v["retrack"]),
             lock_after=v["lock"],
         ),
