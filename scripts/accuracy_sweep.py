@@ -11,9 +11,12 @@ costs only its compute (~20-30 s at bench budgets).
         boot:seed=0:bootstrap=5 tv:seed=0:tv=0.01 ...
 
 Each positional arg is `name[:key=val]*`. Keys: seed, frames, bootstrap,
-ba_min, tv, kf_every, every, method (gn|adam), prior_r, prior_t, gate,
-step_clip, iters, pixels, gt_camera, pretrained (0 disables), depth_psnr.
-One JSON line per run goes to stdout AND --out.
+bi (bootstrap_iters), ba_min, balr (BA_cam_lr), tv, fs, fsband, lock,
+kf_every, every, window, map_pixels, map_iters, iters_first, method
+(gn|adam), prior_r, prior_t, gate, step_clip, doff (gn_depth_offset_sigma),
+cs (const_speed), retrack, iters, pixels, use_color, w_color, nsurf, sband,
+gt_camera, pretrained (0 disables), pt (decoder artifact suffix),
+depth_psnr. One JSON line per run goes to stdout AND --out.
 """
 from __future__ import annotations
 
